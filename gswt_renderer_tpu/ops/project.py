@@ -1,0 +1,599 @@
+"""Device-side stream assembly + splat projection (jnp).
+
+The reference issues one instanced draw per tile with per-instance u32
+streams (renderer.rs:466-591) and does all per-splat math in vs_main
+(gswt.wgsl:27-422). Here the whole frame's draws flatten into ONE padded
+splat stream (static MAX_STREAM), assembled on device, and the vertex math
+runs vectorized over the stream. Semantics follow the WGSL line-for-line;
+the NumPy oracle (refrender/oracle.py) is the test reference.
+
+TPU performance notes (XLA gathers cost ~12-16 ns *per index* regardless of
+how many components ride along, so the design packs everything into as few
+gathers as possible):
+- ONE unified index table [2, M + max_merged] holds the resident presorted
+  (gs_index | lod<<26, map_id) entries plus a per-frame merged-stream tail,
+  so assembly is a single 2-component gather;
+- the splat store is ONE packed [10, N] table (pos xyz, cov 6, rgba as
+  bitcast u32) -> a single 10-component gather;
+- all per-draw uniforms pack into ONE [6, D] table (3 offsets + 2 bitfields)
+  gathered once by draw id.
+Everything per-splat stays component-major (splat axis last) — [S, 3]-style
+arrays would be lane-padded 3 -> 128 on TPU.
+
+The stream is assembled directly front-to-back (reversed draw order) so the
+transmittance compositor needs no flips.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+GS_BITS = 26  # gs_index fits 26 bits (<= 67M splats); lod in bits 26..30
+
+
+def _bilinear_wrap(tex, w, h, u, v):
+    """textureSampleLevel with Repeat addressing + Linear filter
+    (gswt.wgsl:576-583)."""
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    tx = x - x0
+    ty = y - y0
+
+    def texel(xi, yi):
+        return tex[(yi % h) * w + (xi % w)]
+
+    i00 = texel(x0, y0)
+    i10 = texel(x0 + 1, y0)
+    i01 = texel(x0, y0 + 1)
+    i11 = texel(x0 + 1, y0 + 1)
+    return (i00 * (1 - tx) + i10 * tx) * (1 - ty) + (i01 * (1 - tx) + i11 * tx) * ty
+
+
+def _sphere_get_uv(scene, block_id_x, block_id_y, bx, by):
+    """gswt.wgsl:515-553 in jnp."""
+    xmax = scene["map_half_wh"][0].astype(jnp.float32) * 2.0 * scene["tile_width"]
+    block_w = xmax / 5.0
+    top = block_id_y == 0.0
+    lower = by < bx
+    den1 = block_w - (bx - by)
+    den2 = block_w - (by - bx)
+    safe1 = jnp.where(jnp.abs(den1) < 1e-20, 1.0, den1)
+    safe2 = jnp.where(jnp.abs(den2) < 1e-20, 1.0, den2)
+
+    u_tl = jnp.where(bx - by == block_w, 0.0, (by / safe1 + block_id_x) / 5.0)
+    v_tl = den1 / block_w / 3.0
+    u_tu = (bx / block_w + block_id_x) / 5.0 + (by - bx) / block_w * 0.1
+    v_tu = (by - bx) / block_w / 3.0 + 1.0 / 3.0
+    u_bl = (bx / block_w + block_id_x) / 5.0 + den1 / block_w * 0.1
+    v_bl = den1 / block_w / 3.0 + 1.0 / 3.0
+    u_bu = jnp.where(by - bx == block_w, 0.0, (bx / safe2 + block_id_x) / 5.0 + 0.1)
+    v_bu = (by - bx) / block_w / 3.0 + 2.0 / 3.0
+
+    u = jnp.where(top, jnp.where(lower, u_tl, u_tu), jnp.where(lower, u_bl, u_bu))
+    v = jnp.where(top, jnp.where(lower, v_tl, v_tu), jnp.where(lower, v_bl, v_bu))
+    u = (u + 0.5 * jnp.floor(v)) * (2.0 * jnp.pi)
+    v = (v - 0.5) * jnp.pi
+    return u, v
+
+
+def _sphere_uv_to_pos(u, v):
+    return (jnp.cos(v) * jnp.cos(u), jnp.cos(v) * jnp.sin(u), jnp.sin(v))
+
+
+def surface_mapping(scene, height_map, hm_wh, px, py, map_id, single,
+                    mc_x, mc_y, surface_type: int):
+    """gswt.wgsl:565-623, componentized. Returns (mx, my, mz) mapped surface
+    point and the local frame as 9 [S] arrays in order
+    (lx_x, lx_y, lx_z, ly_x, ly_y, ly_z, lz_x, lz_y, lz_z)."""
+    s = px.shape[0]
+    ones = jnp.ones(s, jnp.float32)
+    zeros = jnp.zeros(s, jnp.float32)
+    if surface_type == 0:
+        return (px, py, zeros), (ones, zeros, zeros, zeros, ones, zeros,
+                                 zeros, zeros, ones)
+    if surface_type == 1:
+        half = scene["map_half_wh"].astype(jnp.float32)
+        tw = scene["tile_width"]
+        hms = scene["height_map_scale"]
+        hx = (2.0 * half[0] + 1.0) * tw * hms[0]
+        hy = (2.0 * half[1] + 1.0) * tw * hms[1]
+        hu = (px + half[0] * tw) / hx
+        hv = (py + half[1] * tw) / hy
+        dt = 0.001
+        w, h = int(hm_wh[0]), int(hm_wh[1])
+        z = hms[2]
+        height = _bilinear_wrap(height_map, w, h, hu, hv) * z
+        h_r = _bilinear_wrap(height_map, w, h, hu + dt, hv) * z
+        h_l = _bilinear_wrap(height_map, w, h, hu - dt, hv) * z
+        h_u = _bilinear_wrap(height_map, w, h, hu, hv + dt) * z
+        h_d = _bilinear_wrap(height_map, w, h, hu, hv - dt) * z
+        gx = (h_r - h_l) / (2.0 * dt * hx)  # local_x = (1, 0, gx)
+        gy = (h_u - h_d) / (2.0 * dt * hy)  # local_y = (0, 1, gy)
+        n = jnp.sqrt(gx * gx + gy * gy + 1.0)
+        return (px, py, height), (
+            ones, zeros, gx,
+            zeros, ones, gy,
+            -gx / n, -gy / n, 1.0 / n,
+        )
+    # sphere (gswt.wgsl:590-623)
+    half = scene["map_half_wh"].astype(jnp.float32)
+    tw = scene["tile_width"]
+    cc = scene["center_coord"].astype(jnp.float32)
+    ymax = half[1] * 2.0 * tw
+    block_w = half[0] * 2.0 * tw / 5.0
+    wx = px - (cc[0] - half[0]) * tw
+    wy = py - (cc[1] - half[1]) * tw
+    map_h = (2 * scene["map_half_wh"][1]).astype(jnp.uint32)
+    mi_s = (map_id // map_h).astype(jnp.int32)
+    mj_s = (map_id % map_h).astype(jnp.int32)
+    mi = jnp.where(single == 1, mi_s, mc_x)
+    mj = jnp.where(single == 1, mj_s, mc_y)
+    bidx = (5 * mi // (2 * scene["map_half_wh"][0])).astype(jnp.float32)
+    bidy = (2 * mj // (2 * scene["map_half_wh"][1])).astype(jnp.float32)
+    bx = wx - bidx * block_w
+    by = wy - bidy * block_w
+    r = scene["sphere_radius"]
+    u, v = _sphere_get_uv(scene, bidx, bidy, bx, by)
+    lzx, lzy, lzz = _sphere_uv_to_pos(u, v)
+    dt = 0.001 * ymax
+
+    def at(dbx, dby):
+        uu, vv = _sphere_get_uv(scene, bidx, bidy, bx + dbx, by + dby)
+        return _sphere_uv_to_pos(uu, vv)
+
+    prx, pry, prz = at(dt, 0.0)
+    plx, ply, plz = at(-dt, 0.0)
+    pux, puy, puz = at(0.0, dt)
+    pdx, pdy, pdz = at(0.0, -dt)
+    sc = r / (2.0 * dt)
+    return (lzx * r, lzy * r, lzz * r), (
+        (prx - plx) * sc, (pry - ply) * sc, (prz - plz) * sc,
+        (pux - pdx) * sc, (puy - pdy) * sc, (puz - pdz) * sc,
+        lzx, lzy, lzz,
+    )
+
+
+def cull_draws(draw, cam, culling_dist, lod_enable):
+    """Render-time per-draw viewport culling + lod filter
+    (renderer.rs:466-497). Returns keep mask [D]."""
+    vp = cam["view_proj"]  # math view_proj (no wgpu remap), renderer.rs:464
+    corners = draw["corner_pos"]  # [D,4,3] (D small; padding acceptable)
+    hom = jnp.concatenate([corners, jnp.ones_like(corners[..., :1])], axis=-1)
+    p = jnp.einsum("rc,dkc->dkr", vp, hom)
+    pw = p[..., 3]
+    pdiv = p[..., :3] / pw[..., None]
+    px = jnp.min(jnp.abs(pdiv[..., 0]), axis=1)
+    py = jnp.min(jnp.abs(pdiv[..., 1]), axis=1)
+    pz = jnp.max(pdiv[..., 2], axis=1)
+    culled = (pz < -culling_dist) | (px > culling_dist) | (py > culling_dist)
+    culled &= (draw["single_draw"] == 0) & (draw["has_corners"] == 1)
+    keep = ~culled
+    keep &= lod_enable[jnp.clip(draw["tile_lod"], 0, lod_enable.shape[0] - 1)] != 0
+    keep &= jnp.arange(draw["tile_lod"].shape[0]) < draw["n_draws"]
+    return keep
+
+
+def build_uniform_table(draw, keep):
+    """Pack all per-draw uniforms into a [6, D] f32 table so the per-splat
+    expansion is a single gather. Rows: offset xyz, bits1, bits2, spare."""
+    single = draw["single_draw"].astype(jnp.int32)
+    changing = draw["changing"].astype(jnp.int32)
+    to_lower = draw["changing_to_lower"].astype(jnp.int32) + 1  # -1..1 -> 0..2
+    tile_lod = draw["tile_lod"].astype(jnp.int32)
+    valid_lod = draw["single_valid_lod"].astype(jnp.int32) + 1  # -1.. -> 0..
+    view_id = draw["view_id"].astype(jnp.int32)
+    tile_id = draw["tile_id"].astype(jnp.int32)
+    map_index = draw["map_index"].astype(jnp.int32)
+    single_lod = draw["single_lod_id"].astype(jnp.int32) + 1
+    bits1 = (
+        single
+        | (changing << 1)
+        | (to_lower << 2)
+        | (tile_lod << 4)
+        | (valid_lod << 9)
+        | (view_id << 14)
+        | (tile_id << 18)
+        | (keep.astype(jnp.int32) << 28)
+    )
+    bits2 = map_index | (single_lod << 22)
+    f = jax.lax.bitcast_convert_type
+    return jnp.stack(
+        [
+            draw["offset_x"],
+            draw["offset_y"],
+            draw["offset_z"],
+            f(bits1, jnp.float32),
+            f(bits2, jnp.float32),
+            jnp.zeros_like(draw["offset_x"]),
+        ],
+        axis=0,
+    )
+
+
+def assemble_and_project(draw, keep_draw, unified, store_packed, scene, cam,
+                         height_map, hm_wh, *, surface_type: int,
+                         draw_mode: int, image_wh, max_stream: int,
+                         preload_len: int, point_cloud: bool = False):
+    """Assemble the front-to-back splat stream and run vs_main over it.
+
+    unified: [2, preload_len + max_merged] i32 (packed gs|lod<<26, map_id);
+    store_packed: [10, N] f32 (pos xyz, cov 6, rgba bitcast u32).
+    Returns dict: valid [S], cx/cy/z [S], k (6 comps), color (4 comps),
+    ext_x/ext_y [S].
+    """
+    s = max_stream
+    # --- assembly, directly front-to-back -------------------------------
+    i = jnp.arange(s, dtype=jnp.int32)
+    i_rev = draw["total_splats"].astype(jnp.int32) - 1 - i
+    in_range = i_rev >= 0
+    i_safe = jnp.maximum(i_rev, 0)
+    starts = draw["starts"]
+    d = jnp.searchsorted(starts, i_safe, side="right").astype(jnp.int32) - 1
+    d = jnp.clip(d, 0, starts.shape[0] - 2)
+    j = i_safe - starts[d]
+    ss = draw["stream_start"][d]
+    po = draw["preload_off"][d]
+    merged = ss >= 0
+    uidx = jnp.where(merged, preload_len + ss + j, po + j)
+    uidx = jnp.clip(uidx, 0, unified.shape[1] - 1).astype(jnp.int32)
+    urows = unified[:, uidx]  # ONE 2-component gather
+    packed = urows[0]
+    mid = urows[1]
+    gs = packed & ((1 << GS_BITS) - 1)
+    lod_id = (packed >> GS_BITS) & 0xF
+
+    # per-draw uniforms: ONE 6-component gather
+    utab = build_uniform_table(draw, keep_draw)
+    u = utab[:, d]
+    off_x, off_y, off_z = u[0], u[1], u[2]
+    bc = jax.lax.bitcast_convert_type
+    bits1 = bc(u[3], jnp.int32)
+    bits2 = bc(u[4], jnp.int32)
+    single = bits1 & 1
+    changing = (bits1 >> 1) & 1
+    to_lower = ((bits1 >> 2) & 3) - 1
+    tile_lod = (bits1 >> 4) & 31
+    valid_lod = ((bits1 >> 9) & 31) - 1
+    view_id = (bits1 >> 14) & 15
+    tile_id = (bits1 >> 18) & 1023
+    keep = (bits1 >> 28) & 1
+    map_index = bits2 & ((1 << 22) - 1)
+    single_lod = ((bits2 >> 22) & 31) - 1
+
+    valid = in_range & (keep == 1)
+
+    # splat store: ONE 10-component gather
+    srows = store_packed[:, gs]
+    pos_x, pos_y, pos_z = srows[0], srows[1], srows[2]
+    va0, vb0, vc0, vd0, ve0, vf0 = (srows[3 + t] for t in range(6))
+    rgba_bits = bc(srows[9], jnp.uint32)
+    cr = (rgba_bits & 0xFF).astype(jnp.float32) / 255.0
+    cg = ((rgba_bits >> 8) & 0xFF).astype(jnp.float32) / 255.0
+    cb = ((rgba_bits >> 16) & 0xFF).astype(jnp.float32) / 255.0
+    ca = ((rgba_bits >> 24) & 0xFF).astype(jnp.float32) / 255.0
+
+    # map_coord for the sphere path from the draw's map_index
+    half = scene["map_half_wh"].astype(jnp.int32)
+    cc = scene["center_coord"].astype(jnp.int32)
+    tw = scene["tile_width"]
+    map_h = 2 * half[1] + (0 if surface_type == 2 else 1)
+    mc_x = map_index // map_h
+    mc_y = map_index % map_h
+
+    # early discard: wrong lod id (gswt.wgsl:39-42)
+    valid &= ~((valid_lod >= 0) & (valid_lod != lod_id))
+
+    # offset (gswt.wgsl:52-64)
+    omx = ((mid // map_h) - half[0] + cc[0]).astype(jnp.float32) * tw
+    omy = ((mid % map_h) - half[1] + cc[1]).astype(jnp.float32) * tw
+    off_x = jnp.where(single == 1, omx, off_x)
+    off_y = jnp.where(single == 1, omy, off_y)
+    off_z = jnp.where(single == 1, 0.0, off_z)
+    ssc = scene["scene_scale"]
+    cx_w = (pos_x + off_x) * ssc[0]
+    cy_w = (pos_y + off_y) * ssc[1]
+    cz_w = (pos_z + off_z) * ssc[2]
+
+    # surface mapping (gswt.wgsl:74-82)
+    (mx, my, mz), fr = surface_mapping(
+        scene, height_map, hm_wh, cx_w, cy_w, mid.astype(jnp.uint32), single,
+        mc_x, mc_y, surface_type
+    )
+    fxx, fxy, fxz, fyx, fyy, fyz, fzx, fzy, fzz = fr
+    if surface_type > 0:
+        cx_n = mx + fzx * cz_w
+        cy_n = my + fzy * cz_w
+        cz_n = mz + fzz * cz_w
+    else:
+        cx_n, cy_n, cz_n = cx_w, cy_w, cz_w
+
+    # z clip (gswt.wgsl:84-87)
+    valid &= ~((scene["use_clip"] == 1) & (mz < scene["clip_height"]))
+
+    # LOD transition (gswt.wgsl:89-150)
+    cp = cam["cam_pos"]
+    dxc = cx_n - cp[0]
+    dyc = cy_n - cp[1]
+    dzc = cz_n - cp[2]
+    cam_dist = jnp.sqrt(dxc * dxc + dyc * dyc + dzc * dzc)
+    trans = scene["transition_dist_vec"]
+    num_lod = scene["num_lod"]
+    hl_single = jnp.where(
+        lod_id == 0,
+        0,
+        jnp.where(
+            lod_id == num_lod - 1,
+            lod_id - 1,
+            jnp.where(
+                (cam_dist - trans[jnp.clip(lod_id - 1, 0, 15)])
+                < (trans[jnp.clip(lod_id, 0, 15)] - cam_dist),
+                lod_id - 1,
+                lod_id,
+            ),
+        ),
+    )
+    hl_tile = jnp.where(to_lower == 1, tile_lod, tile_lod - 1)
+    higher_lod = jnp.clip(jnp.where(single == 1, hl_single, hl_tile), 0, 15)
+    t_dist = trans[higher_lod]
+    half_w = scene["transition_width_ratio"] * t_dist
+    t_ratio = jnp.clip((cam_dist - t_dist) / half_w + 0.5, 0.0, 1.0)
+    t_ratio = jnp.nan_to_num(t_ratio, nan=1.0, posinf=1.0, neginf=0.0)
+    is_changing = changing == 1
+    valid &= ~(
+        is_changing
+        & (
+            ((lod_id == higher_lod + 1) & (t_ratio == 0.0))
+            | ((lod_id == higher_lod) & (t_ratio == 1.0))
+        )
+    )
+    alpha_mul = jnp.where(
+        is_changing, jnp.where(lod_id != higher_lod, t_ratio, 1.0 - t_ratio), 1.0
+    )
+
+    # projection (gswt.wgsl:152-167)
+    view = cam["view"]
+    proj = cam["proj_wgpu"]
+
+    def mat4_apply_rows(m, x, y, z):
+        return tuple(m[r, 0] * x + m[r, 1] * y + m[r, 2] * z + m[r, 3]
+                     for r in range(4))
+
+    vx, vy, vz, _ = mat4_apply_rows(view, cx_n, cy_n, cz_n)
+    p0, p1, p2, p3 = mat4_apply_rows(proj, vx, vy, vz)
+    clip = 1.2 * p3
+    valid &= ~(
+        (p2 < -clip) | (p0 < -clip) | (p0 > clip) | (p1 < -clip) | (p1 > clip)
+    )
+
+    # covariance (gswt.wgsl:169-205)
+    if point_cloud:
+        p_r = jnp.full(s, scene["point_cloud_radius"], jnp.float32)
+        if draw_mode > 0:
+            p_r = p_r * jnp.power(2.0, tile_lod.astype(jnp.float32))
+        va, vb, vc2, vd, ve, vf = p_r, 0.0 * p_r, 0.0 * p_r, p_r, 0.0 * p_r, p_r
+    else:
+        va, vb, vc2, vd, ve, vf = va0, vb0, vc0, vd0, ve0, vf0
+
+    if surface_type > 0:
+        f00, f01, f02 = fxx, fyx, fzx
+        f10, f11, f12 = fxy, fyy, fzy
+        f20, f21, f22 = fxz, fyz, fzz
+        w00 = f00 * va + f01 * vb + f02 * vc2
+        w01 = f00 * vb + f01 * vd + f02 * ve
+        w02 = f00 * vc2 + f01 * ve + f02 * vf
+        w10 = f10 * va + f11 * vb + f12 * vc2
+        w11 = f10 * vb + f11 * vd + f12 * ve
+        w12 = f10 * vc2 + f11 * ve + f12 * vf
+        w20 = f20 * va + f21 * vb + f22 * vc2
+        w21 = f20 * vb + f21 * vd + f22 * ve
+        w22 = f20 * vc2 + f21 * ve + f22 * vf
+        va = w00 * f00 + w01 * f01 + w02 * f02
+        vb = w00 * f10 + w01 * f11 + w02 * f12
+        vc2 = w00 * f20 + w01 * f21 + w02 * f22
+        vd = w10 * f10 + w11 * f11 + w12 * f12
+        ve = w10 * f20 + w11 * f21 + w12 * f22
+        vf = w20 * f20 + w21 * f21 + w22 * f22
+    va = va * ssc[0] * ssc[0]
+    vb = vb * ssc[0] * ssc[1]
+    vc2 = vc2 * ssc[0] * ssc[2]
+    vd = vd * ssc[1] * ssc[1]
+    ve = ve * ssc[1] * ssc[2]
+    vf = vf * ssc[2] * ssc[2]
+
+    # EWA Jacobian (gswt.wgsl:207-245)
+    r3 = view[:3, :3]
+    tx3 = r3[0, 0] * dxc + r3[0, 1] * dyc + r3[0, 2] * dzc
+    ty3 = r3[1, 0] * dxc + r3[1, 1] * dyc + r3[1, 2] * dzc
+    tz3 = r3[2, 0] * dxc + r3[2, 1] * dyc + r3[2, 2] * dzc
+    limx = 1.3 * cam["htan_fov"][0]
+    limy = 1.3 * cam["htan_fov"][1]
+    txc = jnp.clip(tx3 / tz3, -limx, limx) * tz3
+    tyc = jnp.clip(ty3 / tz3, -limy, limy) * tz3
+    tz2 = tz3 * tz3
+    fx = cam["focal"][0]
+    fy = cam["focal"][1]
+    j00 = fx / tz3
+    j20 = -fx * txc / tz2
+    j11 = fy / tz3
+    j21 = -fy * tyc / tz2
+    t0x = r3[0, 0] * j00 + r3[2, 0] * j20
+    t0y = r3[0, 1] * j00 + r3[2, 1] * j20
+    t0z = r3[0, 2] * j00 + r3[2, 2] * j20
+    t1x = r3[1, 0] * j11 + r3[2, 0] * j21
+    t1y = r3[1, 1] * j11 + r3[2, 1] * j21
+    t1z = r3[1, 2] * j11 + r3[2, 2] * j21
+
+    def quad(ax, ay, az, bx, by, bz):
+        return (
+            ax * (va * bx + vb * by + vc2 * bz)
+            + ay * (vb * bx + vd * by + ve * bz)
+            + az * (vc2 * bx + ve * by + vf * bz)
+        )
+
+    c00 = quad(t0x, t0y, t0z, t0x, t0y, t0z)
+    c01 = quad(t0x, t0y, t0z, t1x, t1y, t1z)
+    c11 = quad(t1x, t1y, t1z, t1x, t1y, t1z)
+
+    mid2 = 0.5 * (c00 + c11)
+    radius = jnp.sqrt((0.5 * (c00 - c11)) ** 2 + c01 * c01)
+    lam1 = mid2 + radius
+    lam2 = mid2 - radius
+    valid &= ~(lam2 < 0.0)
+    dgx = c01
+    dgy = lam1 - c00
+    dn = jnp.sqrt(dgx * dgx + dgy * dgy)
+    dns = jnp.where(dn == 0, 1.0, dn)
+    dgx = jnp.where(dn > 0, dgx / dns, dgx)
+    dgy = jnp.where(dn > 0, dgy / dns, dgy)
+    len1 = jnp.minimum(jnp.sqrt(2.0 * jnp.maximum(lam1, 0.0)), 1024.0)
+    len2 = jnp.minimum(jnp.sqrt(2.0 * jnp.maximum(lam2, 0.0)), 1024.0)
+    sscale = scene["splat_scale"]
+    maj_x = len1 * dgx * sscale
+    maj_y = len1 * dgy * sscale
+    min_x = len2 * dgy * sscale
+    min_y = -len2 * dgx * sscale
+
+    # color + debug modes + lod alpha + near fade
+    cr, cg, cb, ca = _apply_draw_mode(
+        draw_mode, cr, cg, cb, ca, pos_x, pos_y, off_x, off_y, tile_lod,
+        lod_id, single, is_changing, t_ratio, view_id, single_lod, tile_id,
+        scene, surface_type
+    )
+    ca = ca * alpha_mul
+    fade = jnp.clip(p2 / p3 + 1.0, 0.0, 1.0)
+    cr = cr * fade
+    cg = cg * fade
+    cb = cb * fade
+    ca = ca * fade
+
+    # NDC -> pixel space
+    w_img, h_img = image_wh
+    z_ndc = p2 / p3
+    cx_px = (p0 / p3 * 0.5 + 0.5) * w_img
+    cy_px = (0.5 - p1 / p3 * 0.5) * h_img
+    valid &= (z_ndc >= 0.0) & (z_ndc <= 1.0)
+
+    # exponent coefficients over pixel coords (y-down => flip axis y)
+    mjx, mjy = maj_x, -maj_y
+    mnx, mny = min_x, -min_y
+    m2 = mjx * mjx + mjy * mjy
+    n2 = mnx * mnx + mny * mny
+    valid &= (m2 > 0) & (n2 > 0)
+    m2s = jnp.where(m2 == 0, 1.0, m2)
+    n2s = jnp.where(n2 == 0, 1.0, n2)
+    q_a = 4.0 * (mjx * mjx / m2s**2 + mnx * mnx / n2s**2)
+    q_b = 4.0 * (mjx * mjy / m2s**2 + mnx * mny / n2s**2)
+    q_c = 4.0 * (mjy * mjy / m2s**2 + mny * mny / n2s**2)
+    k0 = -q_a
+    k1 = -2.0 * q_b
+    k2 = -q_c
+    k3 = 2.0 * q_a * cx_px + 2.0 * q_b * cy_px
+    k4 = 2.0 * q_b * cx_px + 2.0 * q_c * cy_px
+    k5 = -(q_a * cx_px * cx_px + 2.0 * q_b * cx_px * cy_px + q_c * cy_px * cy_px)
+
+    ext_x = jnp.abs(mjx) + jnp.abs(mnx)
+    ext_y = jnp.abs(mjy) + jnp.abs(mny)
+
+    valid &= jnp.isfinite(cx_px) & jnp.isfinite(cy_px)
+    for k in (k0, k1, k2, k3, k4, k5):
+        valid &= jnp.isfinite(k)
+
+    vf32 = valid.astype(jnp.float32)
+    return dict(
+        valid=valid,
+        cx=cx_px,
+        cy=cy_px,
+        z=z_ndc,
+        k=(k0, k1, k2, k3, k4, k5),
+        color=(cr * vf32, cg * vf32, cb * vf32, ca * vf32),
+        ext_x=ext_x,
+        ext_y=ext_y,
+    )
+
+
+def _apply_draw_mode(draw_mode, cr, cg, cb, ca, pos_x, pos_y, off_x, off_y,
+                     tile_lod, lod_id, single, is_changing, t_ratio, view_id,
+                     single_lod, tile_id, scene, surface_type):
+    """Debug draw modes (gswt.wgsl:267-399), componentized."""
+    if draw_mode == 0:
+        return cr, cg, cb, ca
+    s = cr.shape[0]
+    if draw_mode == 1:  # TileID
+        gray = jnp.clip((cr + cg + cb) / 0.6, 0.0, 1.0)
+        r, g, b = gray, gray, gray
+        tw = scene["tile_width"]
+        margin = 0.05 * tw
+        on_sphere = surface_type == 2
+        c_a = (1.0, 0.0, 0.0) if on_sphere else (1.0, 0.85, 0.0)
+        c_b = (0.0, 1.0, 0.13) if on_sphere else (0.0, 0.58, 1.0)
+        west = pos_x < margin
+        east = pos_x > tw - margin
+        south = pos_y < margin
+        north = pos_y > tw - margin
+        ym = south | north
+
+        def pick(cond, col3, r, g, b):
+            return (
+                jnp.where(cond, col3[0], r),
+                jnp.where(cond, col3[1], g),
+                jnp.where(cond, col3[2], b),
+            )
+
+        red = (1.0, 0.0, 0.0)
+        green = (0.0, 1.0, 0.13)
+        gray5 = (0.5, 0.5, 0.5)
+        r, g, b = pick(west & ym, gray5, r, g, b)
+        r, g, b = pick(west & ~ym & (tile_id // 8 % 2 == 0), red, r, g, b)
+        r, g, b = pick(west & ~ym & (tile_id // 8 % 2 == 1), green, r, g, b)
+        r, g, b = pick(~west & east & ym, gray5, r, g, b)
+        r, g, b = pick(~west & east & ~ym & (tile_id // 2 % 2 == 0), red, r, g, b)
+        r, g, b = pick(~west & east & ~ym & (tile_id // 2 % 2 == 1), green, r, g, b)
+        m = ~west & ~east & south
+        r, g, b = pick(m & (tile_id % 2 == 0), c_a, r, g, b)
+        r, g, b = pick(m & (tile_id % 2 == 1), c_b, r, g, b)
+        m = ~west & ~east & ~south & north
+        r, g, b = pick(m & (tile_id // 4 % 2 == 0), c_a, r, g, b)
+        r, g, b = pick(m & (tile_id // 4 % 2 == 1), c_b, r, g, b)
+
+        def wgsl_rand(x, y):
+            return jnp.mod(jnp.sin(x * 12.9898 + y * 78.233) * 43758.5453, 1.0)
+
+        mm = single == 1
+        r = jnp.where(mm, gray * wgsl_rand(off_x, off_y), r)
+        g = jnp.where(mm, gray * wgsl_rand(off_x + 23.45, off_y + 23.45), g)
+        b = jnp.where(mm, gray * wgsl_rand(off_x + 67.89, off_y + 67.89), b)
+        return r, g, b, ca
+    if draw_mode == 2:  # TileLOD
+        mid_t = (t_ratio > 0.0) & (t_ratio < 1.0)
+        lodv = tile_lod.astype(jnp.float32)
+        cx = jnp.where(tile_lod < 3, (3.0 - lodv) / 3.0, 0.0)
+        cy = jnp.where(tile_lod >= 3, (6.0 - lodv) / 3.0, 1.0)
+        r = jnp.full(s, 0.5)
+        g, b = cx, cy
+        chang = ~mid_t & is_changing
+        r = jnp.where(chang, 0.0, r)
+        g = jnp.where(chang, 1.0, g)
+        b = jnp.where(chang, 0.0, b)
+        r = jnp.where(mid_t, 0.0, r)
+        g = jnp.where(mid_t, 0.0, g)
+        b = jnp.where(mid_t, 0.0, b)
+        return r, g, b, ca
+    if draw_mode == 3:  # LOD
+        mid_t = (t_ratio > 0.0) & (t_ratio < 1.0)
+        eff = jnp.where(single_lod >= 0, single_lod, lod_id).astype(jnp.float32)
+        cx = jnp.where(eff < 3, (3.0 - eff) / 3.0, 0.0)
+        cy = jnp.where(eff >= 3, (6.0 - eff) / 3.0, 1.0)
+        r = jnp.where(mid_t, 0.0, jnp.full(s, 0.5))
+        g = jnp.where(mid_t, 0.0, cx)
+        b = jnp.where(mid_t, 0.0, cy)
+        return r, g, b, ca
+    # View (draw_mode 4)
+    vid = view_id.astype(jnp.float32)
+    cx = jnp.where(vid < 4, (4.0 - vid) / 4.0, 0.0)
+    cy = jnp.where(vid >= 4, (8.0 - vid) / 4.0, 0.0)
+    cx = jnp.where(vid >= 8, 1.0, cx)
+    cy = jnp.where(vid >= 8, 1.0, cy)
+    return jnp.full(s, 0.5), cx, cy, ca

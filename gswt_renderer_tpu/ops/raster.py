@@ -1,0 +1,274 @@
+"""Ordered alpha-compositing rasterizer.
+
+The wgpu reference blends premultiplied quads back-to-front through the ROP
+(renderer.rs:118-129, gswt.wgsl:424-435). The TPU formulation walks each
+image tile's splat run FRONT-to-back carrying per-pixel transmittance
+T = prod(1 - g_j): the final color  sum_i c_i g_i T_i  is algebraically
+identical to back-to-front ONE/ONE_MINUS_SRC_ALPHA blending.
+
+The grid iterates a worklist of (tile, chunk) entries over the tile-sorted
+pair table; a chunk is a fixed CHUNK-wide slice of the sorted table, and
+range masks cut away pairs that belong to neighboring tiles at run
+boundaries (no re-layout pass). Per chunk of C splats:
+
+  expnt (C,P) = table[0:8] @ F(8,P)        -- one MXU matmul; F = per-pixel
+                                              monomials [x^2,xy,y^2,x,y,1,0,0]
+  g = exp(expnt) * alpha, masked by range, the exp(-4) cutoff, depth test
+  T_excl = exclusive cumprod over the chunk (log-step scan on the VPU)
+  acc(4,P) += rgb1(4,C) @ (g * T_excl * T_carry)   -- second MXU matmul
+  T_carry *= prod(1 - g)
+
+with per-tile accumulators in VMEM, chunks of one tile consecutive, and
+whole-chunk early exit once the tile is saturated.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CUTOFF = -4.0  # fragment discard threshold (gswt.wgsl:427-430)
+MIN_T = 0.5 / 255.0  # early-exit transmittance (below ROP quantization)
+
+
+def _pixel_features(tile_xy, tw, th):
+    """F matrix (8, th*tw): monomials of pixel-center coordinates for the
+    exponent matmul."""
+    ty, tx = tile_xy
+    ix = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
+    px = (tx * tw + ix).astype(jnp.float32) + 0.5
+    py = (ty * th + iy).astype(jnp.float32) + 0.5
+    px = px.reshape(-1)
+    py = py.reshape(-1)
+    one = jnp.ones_like(px)
+    zero = jnp.zeros_like(px)
+    return jnp.stack([px * px, px * py, py * py, px, py, one, zero, zero], axis=0)
+
+
+def _cumprod_inclusive(x):
+    """Hillis-Steele inclusive cumulative product along axis 0 (log-step
+    shifted multiplies; Pallas TPU has no native cumprod lowering)."""
+    c = x.shape[0]
+    shift = 1
+    while shift < c:
+        pad = jnp.ones((shift, x.shape[1]), x.dtype)
+        x = x * jnp.concatenate([pad, x[:-shift]], axis=0)
+        shift *= 2
+    return x
+
+
+def _raster_kernel(
+    # scalar prefetch
+    e_tile, e_chunk, e_start, e_end, e_first, e_last,
+    # inputs
+    table_ref, depth_ref,
+    # outputs
+    out_ref,
+    # scratch
+    acc_ref, trans_ref,
+    *, tw, th, ntx, chunk,
+):
+    g = pl.program_id(0)
+    first = e_first[g] == 1
+    last = e_last[g] == 1
+    tile = e_tile[g]
+    ty = tile // ntx
+    tx = tile % ntx
+    p_n = th * tw
+
+    @pl.when(first)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        trans_ref[:] = jnp.ones_like(trans_ref)
+
+    t_carry = trans_ref[0:1, :]  # (1, P)
+
+    @pl.when(jnp.max(t_carry) >= MIN_T)
+    def _():
+        table = table_ref[:]  # (16, C): k0..k5, z, 0, r, g, b, a
+        feats = _pixel_features((ty, tx), tw, th)  # (8, P)
+        # full f32 precision: the monomials reach ~4e6 at 1080p and the MXU's
+        # default bf16 passes would corrupt the exponent by O(1)
+        expnt = jax.lax.dot_general(
+            table[0:8], feats,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (C, P)
+        z = table[6, :][:, None]  # (C,1)
+        alpha = table[11, :][:, None]  # (C,1)
+        depth = depth_ref[0]  # (1,P)
+        # range mask: pairs outside this tile's run in the sorted table
+        slot = e_chunk[g] * chunk + jax.lax.broadcasted_iota(
+            jnp.int32, (chunk, 1), 0
+        )
+        in_run = (slot >= e_start[g]) & (slot < e_end[g])
+        gmat = jnp.exp(expnt) * alpha
+        mask = in_run & (expnt >= CUTOFF) & (z < depth)
+        gmat = jnp.where(mask, gmat, 0.0)
+        t_incl = _cumprod_inclusive(1.0 - gmat)
+        t_excl = jnp.concatenate(
+            [jnp.ones((1, p_n), jnp.float32), t_incl[:-1, :]], axis=0
+        )
+        weight = gmat * t_excl * t_carry  # (C,P)
+        rgb1 = jnp.concatenate(
+            [table[8:11], jnp.ones((1, chunk), jnp.float32)], axis=0
+        )  # (4,C)
+        contrib = jax.lax.dot_general(
+            rgb1, weight,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        acc_ref[0:4, :] = acc_ref[0:4, :] + contrib
+        trans_ref[0:1, :] = t_carry * t_incl[-1:, :]
+
+    @pl.when(last)
+    def _():
+        out_ref[0, 0:4, :] = acc_ref[0:4, :].reshape(1, 4, p_n)[0]
+
+
+def rasterize_pallas(binned, depth_tiles, *, image_wh, tile_wh, chunk: int,
+                     interpret: bool = False):
+    """Run the Pallas tile rasterizer.
+
+    binned: output of bin_pairs. depth_tiles: [T, th*tw] per-pixel depth
+    (1.0 when no proxy). Returns rgb_acc [T, 4, P]: premultiplied color +
+    alpha per tile block; reassemble with `tiles_to_image`.
+    """
+    depth_tiles = depth_tiles.reshape(depth_tiles.shape[0], 1, -1)
+    w_img, h_img = image_wh
+    tw, th = tile_wh
+    ntx = -(-w_img // tw)
+    nty = -(-h_img // th)
+    n_tiles = ntx * nty
+    p_n = th * tw
+    ne = binned["entry_tile"].shape[0]
+
+    kernel = functools.partial(_raster_kernel, tw=tw, th=th, ntx=ntx, chunk=chunk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(ne,),
+        in_specs=[
+            pl.BlockSpec(
+                (16, chunk),
+                lambda g, et, ec, es, ee, ef, el: (0, ec[g]),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, p_n),
+                lambda g, et, ec, es, ee, ef, el: (et[g], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 4, p_n),
+            lambda g, et, ec, es, ee, ef, el: (et[g], 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((4, p_n), jnp.float32),
+            pltpu.VMEM((1, p_n), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 4, p_n), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(
+        binned["entry_tile"],
+        binned["entry_chunk"],
+        binned["entry_start"],
+        binned["entry_end"],
+        binned["entry_first"],
+        binned["entry_last"],
+        binned["table"],
+        depth_tiles,
+    )
+    return out
+
+
+def tiles_to_image(tile_acc, *, image_wh, tile_wh):
+    """[T, 4, P] tile blocks -> [H, W, 4] image (cropping padding)."""
+    w_img, h_img = image_wh
+    tw, th = tile_wh
+    ntx = -(-w_img // tw)
+    nty = -(-h_img // th)
+    img = tile_acc.reshape(nty, ntx, 4, th, tw)
+    img = img.transpose(0, 3, 1, 4, 2).reshape(nty * th, ntx * tw, 4)
+    return img[:h_img, :w_img, :]
+
+
+def image_to_depth_tiles(depth, *, image_wh, tile_wh):
+    """[H, W] depth -> [T, P] tile blocks (padding with 1.0)."""
+    w_img, h_img = image_wh
+    tw, th = tile_wh
+    ntx = -(-w_img // tw)
+    nty = -(-h_img // th)
+    pad_h = nty * th - h_img
+    pad_w = ntx * tw - w_img
+    d = jnp.pad(depth, ((0, pad_h), (0, pad_w)), constant_values=1.0)
+    d = d.reshape(nty, th, ntx, tw).transpose(0, 2, 1, 3).reshape(ntx * nty, th * tw)
+    return d
+
+
+def rasterize_reference(binned_np, depth_tiles_np, *, image_wh, tile_wh, chunk):
+    """NumPy reference with identical semantics to the kernel (for tests)."""
+    w_img, h_img = image_wh
+    tw, th = tile_wh
+    ntx = -(-w_img // tw)
+    nty = -(-h_img // th)
+    n_tiles = ntx * nty
+    p_n = th * tw
+    table = np.asarray(binned_np["table"])
+    et = np.asarray(binned_np["entry_tile"])
+    ec = np.asarray(binned_np["entry_chunk"])
+    es = np.asarray(binned_np["entry_start"])
+    ee = np.asarray(binned_np["entry_end"])
+    ef = np.asarray(binned_np["entry_first"])
+    el = np.asarray(binned_np["entry_last"])
+    depth = np.asarray(depth_tiles_np)
+    out = np.zeros((n_tiles, 4, p_n), np.float32)
+    acc = np.zeros((4, p_n), np.float32)
+    tcar = np.ones((1, p_n), np.float32)
+    for g in range(et.shape[0]):
+        tile = int(et[g])
+        tyx = (tile // ntx, tile % ntx)
+        if ef[g]:
+            acc[:] = 0.0
+            tcar[:] = 1.0
+        if tcar.max() >= MIN_T:
+            blk = table[:, ec[g] * chunk : (ec[g] + 1) * chunk]
+            px = (tyx[1] * tw + np.arange(tw)[None, :] + 0.5) * np.ones((th, 1))
+            py = (tyx[0] * th + np.arange(th)[:, None] + 0.5) * np.ones((1, tw))
+            px = px.reshape(-1)
+            py = py.reshape(-1)
+            feats = np.stack(
+                [px * px, px * py, py * py, px, py, np.ones(p_n), np.zeros(p_n),
+                 np.zeros(p_n)], axis=0
+            ).astype(np.float32)
+            expnt = blk[0:8].T @ feats
+            z = blk[6, :][:, None]
+            alpha = blk[11, :][:, None]
+            slot = ec[g] * chunk + np.arange(chunk)[:, None]
+            in_run = (slot >= es[g]) & (slot < ee[g])
+            g_m = np.exp(expnt) * alpha
+            mask = in_run & (expnt >= CUTOFF) & (z < depth[tile][None, :])
+            g_m = np.where(mask, g_m, 0.0)
+            t_incl = np.cumprod(1.0 - g_m, axis=0)
+            t_excl = np.concatenate([np.ones((1, p_n), np.float32), t_incl[:-1]], axis=0)
+            weight = g_m * t_excl * tcar
+            rgb1 = np.concatenate([blk[8:11], np.ones((1, chunk), np.float32)], axis=0)
+            acc[0:4] += rgb1 @ weight
+            tcar = tcar * t_incl[-1:]
+        if el[g]:
+            out[tile] = acc
+    return out

@@ -1,0 +1,201 @@
+"""End-to-end parity: the TPU pipeline must match the NumPy oracle (the exact
+WGSL transcription) within the 1e-3 budget across feature configurations."""
+
+import numpy as np
+import pytest
+
+from gswt_renderer_tpu.core import Camera, UserData
+from gswt_renderer_tpu.core.config import (
+    DrawMode,
+    RenderConfig,
+    SelectiveMergeType,
+    SurfaceType,
+    TileSortType,
+)
+from gswt_renderer_tpu.io.synth import synthetic_scene_vec
+from gswt_renderer_tpu.refrender import render_oracle
+from gswt_renderer_tpu.render import build_frame_inputs
+from gswt_renderer_tpu.render.pipeline import Renderer, RendererConfig
+from gswt_renderer_tpu.render.uniforms import SceneParams
+from gswt_renderer_tpu.tiles import WangTileEngine
+
+W = H = 128
+
+
+@pytest.fixture(scope="module")
+def engine():
+    sv = synthetic_scene_vec(n_lod=2, splats_per_tile=96)
+    return WangTileEngine(sv)
+
+
+def _setup(engine, **kw):
+    kw.setdefault("tile_map_half_wh", (2, 2))
+    kw.setdefault("height_map_scale", (1.0, 0.0))
+    kw.setdefault("lod_max_dist", 8.0)
+    kw.setdefault("surface_type", SurfaceType.NONE)
+    kw.setdefault("merge_type", SelectiveMergeType.NONE)
+    kw.setdefault("tile_sort_type", TileSortType.DISTANCE)
+    kw.setdefault("lod_blending", False)
+    ud = UserData.from_ui(**kw)
+    engine.configure(ud)
+    return ud
+
+
+def _render_pair(engine, ud, cam_pos, target, rc=None, viewport=(W, H)):
+    cam_pos = np.asarray(cam_pos, np.float32)
+    engine.build_tiles(cam_pos)
+    camera = Camera(viewport, cam_pos, target, (0.0, 1.0, 0.0),
+                    np.deg2rad(60.0), 0.1, 200.0)
+    dt = engine.sort_tiles(cam_pos, camera.view_proj())
+    rc = rc or RenderConfig.new(engine.n_tiles[0])
+    fi = build_frame_inputs(engine, dt, camera, rc)
+    img_ref = render_oracle(fi, viewport[0], viewport[1])
+    r = Renderer(
+        engine,
+        RendererConfig(
+            width=viewport[0], height=viewport[1], max_draws=128,
+            max_stream=1 << 15, max_merged=1 << 13, max_pairs=1 << 16,
+            chunk=128,
+        ),
+    )
+    r.configure(ud)
+    sp = SceneParams.from_data(ud, engine.center_coord, rc)
+    img = r.render(dt, camera, sp, rc)
+    return img_ref, img
+
+
+def _assert_close(img_ref, img, budget=1e-3, frac=5e-4):
+    diff = np.abs(img - img_ref).max(axis=-1)
+    assert np.mean(diff) < 1e-4, f"mean diff {np.mean(diff)}"
+    assert np.mean(diff > budget) <= frac, (
+        f"{np.mean(diff > budget):.2%} of pixels over {budget}; max {diff.max()}"
+    )
+
+
+def test_parity_flat_topdown(engine):
+    ud = _setup(engine)
+    ref, img = _render_pair(engine, ud, [2.0, 2.0, 6.0], (2.0, 2.0, 0.0))
+    assert ref[..., 3].mean() > 0.5  # scene actually covers the frame
+    _assert_close(ref, img)
+
+
+def test_parity_grazing_view(engine):
+    ud = _setup(engine)
+    ref, img = _render_pair(engine, ud, [0.0, -6.0, 2.0], (0.0, 0.0, 0.5))
+    _assert_close(ref, img)
+
+
+def test_parity_heightmap_surface(engine):
+    ud = _setup(
+        engine,
+        surface_type=SurfaceType.HEIGHT_MAP,
+        height_map_scale=(1.0, 0.3),
+        height_map_wh=(8, 8),
+    )
+    ref, img = _render_pair(engine, ud, [1.0, -5.0, 3.0], (1.0, 0.0, 0.5))
+    _assert_close(ref, img)
+
+
+def test_parity_lod_blending(engine):
+    ud = _setup(
+        engine,
+        tile_map_half_wh=(3, 3),
+        lod_blending=True,
+        lod_max_dist=3.0,
+        lod_transition_width_ratio=0.3,
+        tile_sort_type=TileSortType.GRAPH,
+    )
+    ref, img = _render_pair(engine, ud, [0.5, -3.0, 2.5], (0.5, 2.0, 0.0))
+    _assert_close(ref, img)
+
+
+def test_parity_merged_draws(engine):
+    ud = _setup(
+        engine,
+        tile_map_half_wh=(3, 3),
+        merge_type=SelectiveMergeType.EDGE,
+        merge_dot_threshold=0.6,
+        merge_topk=30,
+        tile_sort_type=TileSortType.GRAPH,
+    )
+    engine.build_tiles(np.array([0.0, 0.0, 1.0], np.float32))
+    camera = Camera((W, H), (0.0, 0.0, 1.0), (0.0, 5.0, 0.5), (0.0, 0.0, 1.0),
+                    np.deg2rad(60.0), 0.1, 200.0)
+    dt = engine.sort_tiles(np.zeros(3, np.float32) + [0, 0, 1], camera.view_proj())
+    assert dt.single_draw.sum() > 0, "test needs merged draws"
+    rc = RenderConfig.new(engine.n_tiles[0])
+    fi = build_frame_inputs(engine, dt, camera, rc)
+    ref = render_oracle(fi, W, H)
+    r = Renderer(engine, RendererConfig(width=W, height=H, max_draws=128,
+                                        max_stream=1 << 15, max_merged=1 << 13,
+                                        max_pairs=1 << 16, chunk=128))
+    r.configure(ud)
+    sp = SceneParams.from_data(ud, engine.center_coord, rc)
+    img = r.render(dt, camera, sp, rc)
+    _assert_close(ref, img)
+
+
+def test_parity_debug_modes(engine):
+    ud = _setup(engine)
+    for mode in (DrawMode.TILE_ID, DrawMode.LOD, DrawMode.VIEW):
+        rc = RenderConfig.new(engine.n_tiles[0])
+        rc.draw_mode = mode
+        ref, img = _render_pair(engine, ud, [2.0, 2.0, 6.0], (2.0, 2.0, 0.0), rc)
+        _assert_close(ref, img)
+
+
+def test_parity_point_cloud(engine):
+    ud = _setup(engine)
+    rc = RenderConfig.new(engine.n_tiles[0])
+    rc.draw_point_cloud = True
+    rc.point_cloud_radius = 0.01
+    ref, img = _render_pair(engine, ud, [2.0, 2.0, 6.0], (2.0, 2.0, 0.0), rc)
+    _assert_close(ref, img)
+
+
+def test_parity_splat_scale_and_scene_scale(engine):
+    ud = _setup(engine)
+    rc = RenderConfig.new(engine.n_tiles[0])
+    rc.splat_scale = 1.5
+    rc.scene_scale = (1.2, 0.9, 1.1)
+    ref, img = _render_pair(engine, ud, [2.0, 2.0, 6.0], (2.0, 2.0, 0.0), rc)
+    _assert_close(ref, img)
+
+
+def test_parity_clip(engine):
+    ud = _setup(
+        engine,
+        surface_type=SurfaceType.HEIGHT_MAP,
+        height_map_scale=(1.0, 0.4),
+        height_map_wh=(8, 8),
+    )
+    rc = RenderConfig.new(engine.n_tiles[0])
+    rc.use_clip = True
+    rc.clip_height = 0.2
+    ref, img = _render_pair(engine, ud, [1.0, -5.0, 3.0], (1.0, 0.0, 0.5), rc)
+    _assert_close(ref, img)
+
+
+def test_lod_enable_filter(engine):
+    ud = _setup(engine, tile_map_half_wh=(2, 2))
+    rc = RenderConfig.new(engine.n_tiles[0])
+    rc.lod_enable = (True, False)
+    ref, img = _render_pair(engine, ud, [2.0, 2.0, 6.0], (2.0, 2.0, 0.0), rc)
+    _assert_close(ref, img)
+
+
+def test_overflow_reported(engine):
+    ud = _setup(engine)
+    cam_pos = np.array([2.0, 2.0, 6.0], np.float32)
+    engine.build_tiles(cam_pos)
+    camera = Camera((W, H), cam_pos, (2.0, 2.0, 0.0), (0.0, 1.0, 0.0),
+                    np.deg2rad(60.0), 0.1, 200.0)
+    dt = engine.sort_tiles(cam_pos, camera.view_proj())
+    r = Renderer(engine, RendererConfig(width=W, height=H, max_draws=128,
+                                        max_stream=1 << 15, max_merged=1 << 13,
+                                        max_pairs=256, chunk=128))
+    r.configure(ud)
+    sp = SceneParams.from_data(ud, engine.center_coord,
+                               RenderConfig.new(engine.n_tiles[0]))
+    r.render(dt, camera, sp)
+    assert bool(r.last_aux["overflow"])
