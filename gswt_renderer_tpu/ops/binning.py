@@ -52,22 +52,33 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int):
     ny = jnp.where(ok, y1 - y0 + 1, 0)
     count = nx * ny
 
-    offs = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(count, dtype=jnp.int32)]
-    )
-    total = offs[-1]
+    s_n = count.shape[0]
+    offs_incl = jnp.cumsum(count, dtype=jnp.int32)
+    offs = offs_incl - count  # exclusive
+    total = offs_incl[-1]
     overflow = total > max_pairs
 
-    # pair -> splat (searchsorted) + ONE 4-component gather of bbox data
+    # pair -> splat via scatter + cummax (a searchsorted over a MAX_PAIRS
+    # table would lower to ~22 real gathers): scatter each contributing
+    # splat's id and start at its first pair slot, then forward-fill by
+    # cumulative max (ids and starts both increase along the pair axis)
+    scatter_to = jnp.where((count > 0) & (offs < max_pairs), offs, max_pairs)
+    splat_ids = jnp.arange(s_n, dtype=jnp.int32)
+    mark = jnp.full(max_pairs, -1, jnp.int32).at[scatter_to].max(
+        splat_ids, mode="drop"
+    )
+    sp = jnp.maximum(jax.lax.cummax(mark), 0)
+    soff = jnp.zeros(max_pairs, jnp.int32).at[scatter_to].max(offs, mode="drop")
+    soff = jax.lax.cummax(soff)
+    # pack bbox into one i32 (x0 8b | y0 8b | nx 8b): ONE 1-component gather
+    bbox_bits = x0 | (y0 << 8) | (jnp.maximum(nx, 1) << 16)
+    bb = bbox_bits[sp]
     pair_i = jnp.arange(max_pairs, dtype=jnp.int32)
-    sp = jnp.searchsorted(offs, pair_i, side="right").astype(jnp.int32) - 1
-    sp = jnp.clip(sp, 0, count.shape[0] - 1)
-    bbox_tab = jnp.stack([offs[:-1], x0, y0, jnp.maximum(nx, 1)], axis=0)
-    bb = bbox_tab[:, sp]
-    k = pair_i - bb[0]
+    k = pair_i - soff
     pair_ok = pair_i < jnp.minimum(total, max_pairs)
-    tx = bb[1] + k % bb[3]
-    ty = bb[2] + k // bb[3]
+    nx_sp = (bb >> 16) & 0xFF
+    tx = (bb & 0xFF) + k % nx_sp
+    ty = ((bb >> 8) & 0xFF) + k // nx_sp
     tile = ty * ntx + tx
     key = jnp.where(pair_ok, tile, n_tiles).astype(jnp.int32)
 

@@ -52,6 +52,47 @@ def _bilinear_wrap(tex, w, h, u, v):
     return (i00 * (1 - tx) + i10 * tx) * (1 - ty) + (i01 * (1 - tx) + i11 * tx) * ty
 
 
+def pack_tex4(tex, w, h):
+    """Pre-shifted 4-neighborhood texture [4, h*w]: rows (x,y), (x+1,y),
+    (x,y+1), (x+1,y+1) with wrap — turns each bilinear tap into ONE
+    4-component gather (XLA TPU gathers cost per index, not per component)."""
+    import numpy as np
+
+    t = np.asarray(tex, np.float32).reshape(h, w)
+    return np.stack(
+        [
+            t,
+            np.roll(t, -1, axis=1),
+            np.roll(t, -1, axis=0),
+            np.roll(np.roll(t, -1, axis=0), -1, axis=1),
+        ],
+        axis=0,
+    ).reshape(4, h * w)
+
+
+def _bilinear_wrap4(tex4, w, h, u, v):
+    """Bilinear fetch from a pack_tex4 texture: one gather per tap."""
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    tx = x - x0
+    ty = y - y0
+    base = (y0 % h) * w + (x0 % w)
+    t4 = tex4[:, base]
+    i00, i10, i01, i11 = t4[0], t4[1], t4[2], t4[3]
+    return (i00 * (1 - tx) + i10 * tx) * (1 - ty) + (i01 * (1 - tx) + i11 * tx) * ty
+
+
+def lut16(tbl, idx):
+    """Branchless 16-entry table lookup via a select chain (a 16-entry XLA
+    gather costs per *index*; 16 vector selects are ~free)."""
+    out = jnp.full(idx.shape, tbl[0], jnp.float32)
+    for t in range(1, 16):
+        out = jnp.where(idx == t, tbl[t], out)
+    return out
+
+
 def _sphere_get_uv(scene, block_id_x, block_id_y, bx, by):
     """gswt.wgsl:515-553 in jnp."""
     xmax = scene["map_half_wh"][0].astype(jnp.float32) * 2.0 * scene["tile_width"]
@@ -83,7 +124,7 @@ def _sphere_uv_to_pos(u, v):
     return (jnp.cos(v) * jnp.cos(u), jnp.cos(v) * jnp.sin(u), jnp.sin(v))
 
 
-def surface_mapping(scene, height_map, hm_wh, px, py, map_id, single,
+def surface_mapping(scene, hm4, hm_wh, px, py, map_id, single,
                     mc_x, mc_y, surface_type: int):
     """gswt.wgsl:565-623, componentized. Returns (mx, my, mz) mapped surface
     point and the local frame as 9 [S] arrays in order
@@ -105,11 +146,11 @@ def surface_mapping(scene, height_map, hm_wh, px, py, map_id, single,
         dt = 0.001
         w, h = int(hm_wh[0]), int(hm_wh[1])
         z = hms[2]
-        height = _bilinear_wrap(height_map, w, h, hu, hv) * z
-        h_r = _bilinear_wrap(height_map, w, h, hu + dt, hv) * z
-        h_l = _bilinear_wrap(height_map, w, h, hu - dt, hv) * z
-        h_u = _bilinear_wrap(height_map, w, h, hu, hv + dt) * z
-        h_d = _bilinear_wrap(height_map, w, h, hu, hv - dt) * z
+        height = _bilinear_wrap4(hm4, w, h, hu, hv) * z
+        h_r = _bilinear_wrap4(hm4, w, h, hu + dt, hv) * z
+        h_l = _bilinear_wrap4(hm4, w, h, hu - dt, hv) * z
+        h_u = _bilinear_wrap4(hm4, w, h, hu, hv + dt) * z
+        h_d = _bilinear_wrap4(hm4, w, h, hu, hv - dt) * z
         gx = (h_r - h_l) / (2.0 * dt * hx)  # local_x = (1, 0, gx)
         gy = (h_u - h_d) / (2.0 * dt * hy)  # local_y = (0, 1, gy)
         n = jnp.sqrt(gx * gx + gy * gy + 1.0)
@@ -177,8 +218,11 @@ def cull_draws(draw, cam, culling_dist, lod_enable):
 
 
 def build_uniform_table(draw, keep):
-    """Pack all per-draw uniforms into a [6, D] f32 table so the per-splat
-    expansion is a single gather. Rows: offset xyz, bits1, bits2, spare."""
+    """Pack all per-draw uniforms into a [2, D] i32 table so the per-splat
+    expansion is a single 2-component gather. The per-draw tile offset is NOT
+    stored: it always equals coord_to_pos(map_to_coord(map_coord)) and is
+    recomputed per splat from map_index (wangtile.rs:1705,1734 keep offsets
+    equal to that formula across scrolls)."""
     single = draw["single_draw"].astype(jnp.int32)
     changing = draw["changing"].astype(jnp.int32)
     to_lower = draw["changing_to_lower"].astype(jnp.int32) + 1  # -1..1 -> 0..2
@@ -199,59 +243,40 @@ def build_uniform_table(draw, keep):
         | (keep.astype(jnp.int32) << 28)
     )
     bits2 = map_index | (single_lod << 22)
-    f = jax.lax.bitcast_convert_type
-    return jnp.stack(
-        [
-            draw["offset_x"],
-            draw["offset_y"],
-            draw["offset_z"],
-            f(bits1, jnp.float32),
-            f(bits2, jnp.float32),
-            jnp.zeros_like(draw["offset_x"]),
-        ],
-        axis=0,
-    )
+    return jnp.stack([bits1, bits2], axis=0)
 
 
-def assemble_and_project(draw, keep_draw, unified, store_packed, scene, cam,
-                         height_map, hm_wh, *, surface_type: int,
-                         draw_mode: int, image_wh, max_stream: int,
-                         preload_len: int, point_cloud: bool = False):
-    """Assemble the front-to-back splat stream and run vs_main over it.
+def assemble_and_project(stream_packed, stream_map, stream_draw, draw,
+                         keep_draw, store_packed, scene, cam,
+                         hm4, hm_wh, *, surface_type: int,
+                         draw_mode: int, image_wh,
+                         point_cloud: bool = False):
+    """Project the host-assembled front-to-back splat stream (vs_main math).
 
-    unified: [2, preload_len + max_merged] i32 (packed gs|lod<<26, map_id);
+    stream_packed: [S] i32 (gs_index | lod<<26), host-assembled per sort by
+    concatenating the resident presort tables / merged streams in reversed
+    draw order (so it is front-to-back); stream_map: [S] i32 map ids (only
+    meaningful for merged draws); stream_draw: [S] i32 draw ids; padding
+    entries carry draw id = D-1 with keep false.
     store_packed: [10, N] f32 (pos xyz, cov 6, rgba bitcast u32).
     Returns dict: valid [S], cx/cy/z [S], k (6 comps), color (4 comps),
     ext_x/ext_y [S].
     """
-    s = max_stream
-    # --- assembly, directly front-to-back -------------------------------
+    s = stream_packed.shape[0]
     i = jnp.arange(s, dtype=jnp.int32)
-    i_rev = draw["total_splats"].astype(jnp.int32) - 1 - i
-    in_range = i_rev >= 0
-    i_safe = jnp.maximum(i_rev, 0)
-    starts = draw["starts"]
-    d = jnp.searchsorted(starts, i_safe, side="right").astype(jnp.int32) - 1
-    d = jnp.clip(d, 0, starts.shape[0] - 2)
-    j = i_safe - starts[d]
-    ss = draw["stream_start"][d]
-    po = draw["preload_off"][d]
-    merged = ss >= 0
-    uidx = jnp.where(merged, preload_len + ss + j, po + j)
-    uidx = jnp.clip(uidx, 0, unified.shape[1] - 1).astype(jnp.int32)
-    urows = unified[:, uidx]  # ONE 2-component gather
-    packed = urows[0]
-    mid = urows[1]
+    in_range = i < draw["total_splats"].astype(jnp.int32)
+    packed = stream_packed
+    mid = stream_map
+    d = stream_draw
     gs = packed & ((1 << GS_BITS) - 1)
     lod_id = (packed >> GS_BITS) & 0xF
 
-    # per-draw uniforms: ONE 6-component gather
+    # per-draw uniforms: ONE 2-component gather
     utab = build_uniform_table(draw, keep_draw)
     u = utab[:, d]
-    off_x, off_y, off_z = u[0], u[1], u[2]
+    bits1 = u[0]
+    bits2 = u[1]
     bc = jax.lax.bitcast_convert_type
-    bits1 = bc(u[3], jnp.int32)
-    bits2 = bc(u[4], jnp.int32)
     single = bits1 & 1
     changing = (bits1 >> 1) & 1
     to_lower = ((bits1 >> 2) & 3) - 1
@@ -286,12 +311,12 @@ def assemble_and_project(draw, keep_draw, unified, store_packed, scene, cam,
     # early discard: wrong lod id (gswt.wgsl:39-42)
     valid &= ~((valid_lod >= 0) & (valid_lod != lod_id))
 
-    # offset (gswt.wgsl:52-64)
-    omx = ((mid // map_h) - half[0] + cc[0]).astype(jnp.float32) * tw
-    omy = ((mid % map_h) - half[1] + cc[1]).astype(jnp.float32) * tw
-    off_x = jnp.where(single == 1, omx, off_x)
-    off_y = jnp.where(single == 1, omy, off_y)
-    off_z = jnp.where(single == 1, 0.0, off_z)
+    # offset (gswt.wgsl:52-64): merged draws use the per-splat map id,
+    # non-merged draws the draw's own map index — same formula
+    osrc = jnp.where(single == 1, mid, map_index)
+    off_x = ((osrc // map_h) - half[0] + cc[0]).astype(jnp.float32) * tw
+    off_y = ((osrc % map_h) - half[1] + cc[1]).astype(jnp.float32) * tw
+    off_z = jnp.zeros(s, jnp.float32)
     ssc = scene["scene_scale"]
     cx_w = (pos_x + off_x) * ssc[0]
     cy_w = (pos_y + off_y) * ssc[1]
@@ -299,7 +324,7 @@ def assemble_and_project(draw, keep_draw, unified, store_packed, scene, cam,
 
     # surface mapping (gswt.wgsl:74-82)
     (mx, my, mz), fr = surface_mapping(
-        scene, height_map, hm_wh, cx_w, cy_w, mid.astype(jnp.uint32), single,
+        scene, hm4, hm_wh, cx_w, cy_w, mid.astype(jnp.uint32), single,
         mc_x, mc_y, surface_type
     )
     fxx, fxy, fxz, fyx, fyy, fyz, fzx, fzy, fzz = fr
@@ -328,8 +353,8 @@ def assemble_and_project(draw, keep_draw, unified, store_packed, scene, cam,
             lod_id == num_lod - 1,
             lod_id - 1,
             jnp.where(
-                (cam_dist - trans[jnp.clip(lod_id - 1, 0, 15)])
-                < (trans[jnp.clip(lod_id, 0, 15)] - cam_dist),
+                (cam_dist - lut16(trans, jnp.clip(lod_id - 1, 0, 15)))
+                < (lut16(trans, jnp.clip(lod_id, 0, 15)) - cam_dist),
                 lod_id - 1,
                 lod_id,
             ),
@@ -337,7 +362,7 @@ def assemble_and_project(draw, keep_draw, unified, store_packed, scene, cam,
     )
     hl_tile = jnp.where(to_lower == 1, tile_lod, tile_lod - 1)
     higher_lod = jnp.clip(jnp.where(single == 1, hl_single, hl_tile), 0, 15)
-    t_dist = trans[higher_lod]
+    t_dist = lut16(trans, higher_lod)
     half_w = scene["transition_width_ratio"] * t_dist
     t_ratio = jnp.clip((cam_dist - t_dist) / half_w + 0.5, 0.0, 1.0)
     t_ratio = jnp.nan_to_num(t_ratio, nan=1.0, posinf=1.0, neginf=0.0)

@@ -18,11 +18,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .project import _bilinear_wrap
+from .project import _bilinear_wrap, _bilinear_wrap4
 from .skybox import pixel_rays
 
 
-def _height_at(scene, height_map, hm_wh, x, y):
+def _height_at(scene, hm4, hm_wh, x, y):
     """Surface height via the shader's uv convention (proxy.wgsl:73-82)."""
     half = scene["map_half_wh"].astype(jnp.float32)
     tw = scene["tile_width"]
@@ -32,11 +32,11 @@ def _height_at(scene, height_map, hm_wh, x, y):
     hu = (x + half[0] * tw) / hx
     hv = (y + half[1] * tw) / hy
     w, h = int(hm_wh[0]), int(hm_wh[1])
-    return _bilinear_wrap(height_map, w, h, hu, hv) * hms[2]
+    return _bilinear_wrap4(hm4, w, h, hu, hv) * hms[2]
 
 
 def render_proxy(
-    cam, scene, image_wh, height_map, hm_wh, proxy_tex, proxy_wh,
+    cam, scene, image_wh, hm4, hm_wh, proxy_tex, proxy_wh,
     *, surface_type: int, height_offset: float, brightness: float,
     black_background: bool, use_clip: bool, clip_height: float,
     n_steps: int = 96, n_refine: int = 8, max_dist: float = 2400.0,
@@ -50,7 +50,7 @@ def render_proxy(
 
     def surf_h(x, y):
         if surface_type == 1:
-            return _height_at(scene, height_map, hm_wh, x, y) + height_offset
+            return _height_at(scene, hm4, hm_wh, x, y) + height_offset
         return jnp.full_like(x, height_offset)
 
     # signed height above surface along the ray

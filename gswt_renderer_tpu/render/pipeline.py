@@ -2,17 +2,19 @@
 
 One frame = one XLA program over dense HBM arrays:
 
-  cull draws -> assemble splat stream (ONE gather from a unified index table:
-  resident presort entries + per-frame merged-stream tail) -> project
-  (vs_main math, vectorized, ONE packed-store gather) -> tile binning (stable
-  payload sort by image tile) -> Pallas ordered compositor -> composite over
-  skybox/proxy background.
+  cull draws -> project the host-assembled splat stream (vs_main math,
+  vectorized; ONE packed-store gather + ONE per-draw-uniform gather) ->
+  tile binning (scatter/cummax expansion + stable payload sort by image
+  tile) -> Pallas ordered compositor -> composite over skybox/proxy.
 
-The splat store, preloaded presort tables and height map live in HBM across
-frames (the analog of renderer.rs:236-327's resident GPU buffers); per frame
-the host uploads only the draw table (padded to MAX_DRAWS) and the merged
-streams (padded to MAX_MERGED) — the same split the reference uses between
-preloaded and streaming index buffers (renderer.rs:270-327).
+Host/device split (mirrors the reference's preloaded vs streaming buffers,
+renderer.rs:270-327, recast for TPU): the splat store and height map live in
+HBM across frames; the *splat stream* (concatenation of per-draw presorted
+index lists, renderer.rs:466-591) is assembled on the host builder thread —
+it is a pure memcpy of precomputed slices — and uploaded once per SORT, not
+per frame. Between sorts only the camera changes, so a frame uploads ~200
+bytes. Stream buffers are bucketed to powers of two to keep shapes static
+with minimal padding (XLA gathers cost per padded index).
 """
 
 from __future__ import annotations
@@ -28,7 +30,7 @@ from ..core.camera import Camera, CameraUniforms
 from ..core.config import RenderConfig
 from ..core.mathutil import OPENGL_TO_WGPU
 from ..ops import binning, project, raster
-from ..ops.project import GS_BITS
+from ..ops.project import GS_BITS, pack_tex4
 from ..ops.proxy import render_proxy
 from ..ops.skybox import render_skybox
 from ..tiles.structures import DrawTable
@@ -42,6 +44,13 @@ def _is_tpu():
         return False
 
 
+def _next_pow2(n, lo, hi):
+    v = lo
+    while v < n and v < hi:
+        v *= 2
+    return v
+
+
 @dataclass
 class RendererConfig:
     width: int = 1920
@@ -51,8 +60,8 @@ class RendererConfig:
     chunk: int = 256
     max_draws: int = 16384
     max_stream: int = 1 << 22
-    max_merged: int = 1 << 20
-    max_pairs: int = 1 << 22
+    min_stream: int = 1 << 14
+    pairs_factor: float = 4.0  # max_pairs = stream_bucket * pairs_factor
     interpret: bool | None = None  # None = auto (interpret off on TPU)
 
 
@@ -83,15 +92,14 @@ class Renderer:
 
         pgi, pgl, poff = flatten_preload(engine)
         assert n < (1 << GS_BITS), "splat store exceeds 26-bit index budget"
-        preload_packed = (pgi.astype(np.int64) | (pgl.astype(np.int64) << GS_BITS)).astype(np.int32)
-        self.preload_len = len(preload_packed)
-        uni = np.zeros((2, self.preload_len + self.cfg.max_merged), np.int32)
-        uni[0, : self.preload_len] = preload_packed
-        self.unified_resident = jnp.asarray(uni)
-        self.preload_offset_host = poff  # [n_lod, n_tile, n_view] i64 (host)
+        # host-resident packed presort tables: stream assembly is memcpy
+        self.preload_packed_host = (
+            pgi.astype(np.int64) | (pgl.astype(np.int64) << GS_BITS)
+        ).astype(np.int32)
+        self.preload_offset_host = poff  # [n_lod, n_tile, n_view] i64
 
-        self.height_map = None
         self.height_map_wh = (1, 1)
+        self.hm4 = jnp.zeros((4, 1), jnp.float32)
         self.skybox_tex = None
         self.skybox_equirect = True
         self.proxy_tex = None
@@ -103,11 +111,14 @@ class Renderer:
     def configure(self, user_data):
         """Bind the height map after engine.configure (renderer.rs:351-405)."""
         if user_data.height_map is not None and len(user_data.height_map):
-            self.height_map = jnp.asarray(user_data.height_map, jnp.float32)
-            self.height_map_wh = tuple(user_data.height_map_wh)
+            w, h = user_data.height_map_wh
+            self.height_map_wh = (int(w), int(h))
+            self.hm4 = jnp.asarray(
+                pack_tex4(user_data.height_map, int(w), int(h))
+            )
         else:
-            self.height_map = jnp.zeros(1, jnp.float32)
             self.height_map_wh = (1, 1)
+            self.hm4 = jnp.zeros((4, 1), jnp.float32)
 
     def set_skybox(self, tex, equirect=True):
         self.skybox_tex = jnp.asarray(tex, jnp.float32) if tex is not None else None
@@ -122,55 +133,75 @@ class Renderer:
         self.proxy_wh = (t.shape[1], t.shape[0])
 
     # ------------------------------------------------------------------ #
-    def prepare_draws(self, dt: DrawTable):
-        """Pad a DrawTable to static shapes (host-side)."""
+    def assemble_stream_host(self, dt: DrawTable):
+        """Concatenate per-draw streams (renderer.rs:466-591's draw loop as a
+        memcpy) in REVERSED draw order => front-to-back. Returns numpy
+        (packed [S_pad], map [S_pad], draw_id [S_pad], total, n_draws)."""
         c = self.cfg
         n = min(dt.n_draws, c.max_draws)
+        packed_parts = []
+        map_parts = []
+        counts = np.zeros(n, np.int64)
+        total = 0
+        for i in range(n):
+            cnt = int(dt.splat_count[i])
+            if total + cnt > c.max_stream:
+                cnt = max(c.max_stream - total, 0)
+            counts[i] = cnt
+            if cnt == 0:
+                packed_parts.append(None)
+                map_parts.append(None)
+                continue
+            if dt.stream_start[i] >= 0:
+                s0 = int(dt.stream_start[i])
+                pk = (
+                    dt.stream_gs_index[s0 : s0 + cnt].astype(np.int64)
+                    | (dt.stream_lod_id[s0 : s0 + cnt].astype(np.int64) << GS_BITS)
+                ).astype(np.int32)
+                mp = dt.stream_map_id[s0 : s0 + cnt].astype(np.int32)
+            else:
+                off = int(
+                    self.preload_offset_host[
+                        int(dt.base_lod[i]), int(dt.base_tile[i]), int(dt.base_view[i])
+                    ]
+                )
+                pk = self.preload_packed_host[off : off + cnt]
+                mp = None
+            packed_parts.append(pk)
+            map_parts.append(mp)
+            total += cnt
+
+        s_pad = _next_pow2(total, c.min_stream, c.max_stream)
+        packed = np.zeros(s_pad, np.int32)
+        mapid = np.zeros(s_pad, np.int32)
+        draw_id = np.full(s_pad, max(n - 1, 0), np.int32)
+        # reversed draw order; within-draw order also reversed (global flip)
+        pos = 0
+        for i in range(n - 1, -1, -1):
+            cnt = int(counts[i])
+            if cnt == 0:
+                continue
+            packed[pos : pos + cnt] = packed_parts[i][::-1]
+            if map_parts[i] is not None:
+                mapid[pos : pos + cnt] = map_parts[i][::-1]
+            draw_id[pos : pos + cnt] = i
+            pos += cnt
+        return packed, mapid, draw_id, total, n
+
+    def prepare_draws(self, dt: DrawTable, n: int, total: int):
+        """Pad per-draw uniform arrays to MAX_DRAWS (host-side)."""
+        c = self.cfg
 
         def pad_i(a, fill=0, dtype=np.int32):
             out = np.full(c.max_draws, fill, dtype)
             out[:n] = a[:n]
             return out
 
-        counts = dt.splat_count[:n].astype(np.int64)
-        cum = np.zeros(c.max_draws + 1, np.int64)
-        cum[1 : n + 1] = np.cumsum(counts)
-        cum[n + 1 :] = cum[n]
-        # truncate draws that overflow the stream capacity
-        over = np.searchsorted(cum, c.max_stream, side="right") - 1
-        if over < n:
-            n = int(over)
-            cum[n + 1 :] = cum[n]
-        total = int(cum[n])
-
-        poff = np.zeros(c.max_draws, np.int64)
-        bl = np.clip(dt.base_lod[:n], 0, self.preload_offset_host.shape[0] - 1)
-        bt = np.clip(dt.base_tile[:n], 0, self.preload_offset_host.shape[1] - 1)
-        bv = np.clip(dt.base_view[:n], 0, self.preload_offset_host.shape[2] - 1)
-        poff[:n] = self.preload_offset_host[bl, bt, bv]
-
         corner = np.zeros((c.max_draws, 4, 3), np.float32)
         corner[:n] = dt.corner_pos[:n]
-        offset = np.zeros((c.max_draws, 3), np.float32)
-        offset[:n] = dt.offset[:n]
-        offset = np.ascontiguousarray(offset.T)
-
-        ms = len(dt.stream_gs_index)
-        ms_c = min(ms, c.max_merged)
-        spacked = np.zeros(c.max_merged, np.int32)
-        spacked[:ms_c] = (
-            dt.stream_gs_index[:ms_c].astype(np.int64)
-            | (dt.stream_lod_id[:ms_c].astype(np.int64) << GS_BITS)
-        ).astype(np.int32)
-        smap = np.zeros(c.max_merged, np.int32)
-        smap[:ms_c] = dt.stream_map_id[:ms_c].astype(np.int32)
-
-        draw = dict(
+        return dict(
             n_draws=np.int32(n),
-            total_splats=np.int64(total),
-            starts=cum.astype(np.int32),
-            stream_start=pad_i(dt.stream_start, -1, np.int64).astype(np.int64),
-            preload_off=poff.astype(np.int32),
+            total_splats=np.int32(total),
             single_draw=pad_i(dt.single_draw),
             single_lod_id=pad_i(dt.single_lod_id, -1),
             single_valid_lod=pad_i(dt.valid_lod_id, -1),
@@ -181,13 +212,8 @@ class Renderer:
             view_id=pad_i(dt.view_id),
             map_index=pad_i(dt.map_index),
             has_corners=pad_i(dt.has_corners),
-            offset_x=offset[0],
-            offset_y=offset[1],
-            offset_z=offset[2],
             corner_pos=corner,
         )
-        streams = dict(packed=spacked, map=smap)
-        return draw, streams
 
     def scene_dict(self, scene: SceneParams):
         return dict(
@@ -218,8 +244,8 @@ class Renderer:
         )
 
     # ------------------------------------------------------------------ #
-    def _frame(self, store_packed, unified_resident, draw, streams, scene, cam,
-               lod_enable, culling_dist, height_map, skybox_tex, proxy_tex, *,
+    def _frame(self, store_packed, stream, draw, scene, cam,
+               lod_enable, culling_dist, hm4, skybox_tex, proxy_tex, *,
                surface_type, draw_mode, point_cloud, use_skybox, use_proxy,
                proxy_opts):
         # the projection math needs true f32: default bf16 MXU passes break
@@ -229,22 +255,17 @@ class Renderer:
             image_wh = (c.width, c.height)
             tile_wh = (c.tile_w, c.tile_h)
 
-            # splice the per-frame merged streams into the unified table
-            stream_tail = jnp.stack([streams["packed"], streams["map"]], axis=0)
-            unified = jax.lax.dynamic_update_slice(
-                unified_resident, stream_tail, (0, self.preload_len)
-            )
-
             keep = project.cull_draws(draw, cam, culling_dist, lod_enable)
             p = project.assemble_and_project(
-                draw, keep, unified, store_packed, scene, cam, height_map,
-                self.height_map_wh, surface_type=surface_type,
-                draw_mode=draw_mode, image_wh=image_wh,
-                max_stream=c.max_stream, preload_len=self.preload_len,
-                point_cloud=point_cloud,
+                stream["packed"], stream["map"], stream["draw_id"], draw,
+                keep, store_packed, scene, cam, hm4, self.height_map_wh,
+                surface_type=surface_type, draw_mode=draw_mode,
+                image_wh=image_wh, point_cloud=point_cloud,
             )
+            max_pairs = int(stream["packed"].shape[0] * c.pairs_factor)
+            max_pairs = max((max_pairs // c.chunk) * c.chunk, c.chunk)
             binned = binning.bin_pairs(
-                p, image_wh=image_wh, tile_wh=tile_wh, max_pairs=c.max_pairs,
+                p, image_wh=image_wh, tile_wh=tile_wh, max_pairs=max_pairs,
                 chunk=c.chunk,
             )
 
@@ -256,7 +277,7 @@ class Renderer:
                 bg = jnp.zeros((c.height, c.width, 4), jnp.float32)
             if use_proxy:
                 pcol, depth, hit = render_proxy(
-                    cam, scene, image_wh, height_map, self.height_map_wh,
+                    cam, scene, image_wh, hm4, self.height_map_wh,
                     proxy_tex, self.proxy_wh, surface_type=surface_type,
                     **proxy_opts,
                 )
@@ -279,8 +300,8 @@ class Renderer:
 
     def _get_jit(self, key):
         if key not in self._frame_jit:
-            (surface_type, draw_mode, point_cloud, use_skybox, use_proxy,
-             proxy_opts) = key
+            (s_pad, surface_type, draw_mode, point_cloud, use_skybox,
+             use_proxy, proxy_opts) = key
             fn = functools.partial(
                 self._frame,
                 surface_type=surface_type,
@@ -293,15 +314,18 @@ class Renderer:
             self._frame_jit[key] = jax.jit(fn)
         return self._frame_jit[key]
 
-    def render_args(self, dt: DrawTable, rc: RenderConfig):
-        """Host-side staging: upload draw table + merged streams."""
-        draw_np, streams_np = self.prepare_draws(dt)
-        draw = {k: jnp.asarray(v) for k, v in draw_np.items()}
-        streams = {k: jnp.asarray(v) for k, v in streams_np.items()}
-        lod_enable = jnp.asarray(
-            [1 if b else 0 for b in (rc.lod_enable or [True] * 16)], jnp.int32
+    def stage(self, dt: DrawTable):
+        """Per-SORT staging: assemble + upload the stream and draw tables.
+        The result is reused across frames until the next SortData."""
+        packed, mapid, draw_id, total, n = self.assemble_stream_host(dt)
+        draw_np = self.prepare_draws(dt, n, total)
+        stream = dict(
+            packed=jnp.asarray(packed),
+            map=jnp.asarray(mapid),
+            draw_id=jnp.asarray(draw_id),
         )
-        return draw, streams, lod_enable
+        draw = {k: jnp.asarray(v) for k, v in draw_np.items()}
+        return dict(stream=stream, draw=draw, s_pad=packed.shape[0])
 
     def render(self, dt: DrawTable, camera: Camera, scene: SceneParams,
                render_config: RenderConfig | None = None, *,
@@ -311,12 +335,15 @@ class Renderer:
         """Render one frame; returns [H, W, 4] float32."""
         rc = render_config or RenderConfig.new(self.engine.n_tiles[0])
         if staged is None:
-            staged = self.render_args(dt, rc)
-        draw, streams, lod_enable = staged
+            staged = self.stage(dt)
+        stream = staged["stream"]
+        draw = staged["draw"]
         if not render_gs:
             draw = dict(draw)
-            draw["total_splats"] = jnp.int64(0)
-            draw["n_draws"] = jnp.int32(0)
+            draw["total_splats"] = jnp.int32(0)
+        lod_enable = jnp.asarray(
+            [1 if b else 0 for b in (rc.lod_enable or [True] * 16)], jnp.int32
+        )
         proxy_opts = (
             ("height_offset", float(rc.proxy_height)),
             ("brightness", float(rc.proxy_brightness)),
@@ -325,6 +352,7 @@ class Renderer:
             ("clip_height", float(rc.clip_height)),
         )
         key = (
+            staged["s_pad"],
             int(scene.surface_type),
             int(rc.draw_mode),
             bool(rc.draw_point_cloud),
@@ -333,13 +361,12 @@ class Renderer:
             proxy_opts,
         )
         fn = self._get_jit(key)
-        hm = self.height_map if self.height_map is not None else jnp.zeros(1, jnp.float32)
         sky = self.skybox_tex if self.skybox_tex is not None else jnp.zeros((1, 1, 3))
         prox = self.proxy_tex if self.proxy_tex is not None else jnp.zeros((1, 1, 3))
         img, aux = fn(
-            self.store_packed, self.unified_resident, draw, streams,
+            self.store_packed, stream, draw,
             self.scene_dict(scene), self.cam_dict(CameraUniforms(camera)),
-            lod_enable, jnp.float32(rc.culling_dist), hm, sky, prox,
+            lod_enable, jnp.float32(rc.culling_dist), self.hm4, sky, prox,
         )
         self.last_aux = jax.device_get(aux)
         return np.asarray(jax.device_get(img)) if as_numpy else img

@@ -54,8 +54,7 @@ def _render_pair(engine, ud, cam_pos, target, rc=None, viewport=(W, H)):
         engine,
         RendererConfig(
             width=viewport[0], height=viewport[1], max_draws=128,
-            max_stream=1 << 15, max_merged=1 << 13, max_pairs=1 << 16,
-            chunk=128,
+            max_stream=1 << 15, min_stream=1 << 12, chunk=128,
         ),
     )
     r.configure(ud)
@@ -127,8 +126,8 @@ def test_parity_merged_draws(engine):
     fi = build_frame_inputs(engine, dt, camera, rc)
     ref = render_oracle(fi, W, H)
     r = Renderer(engine, RendererConfig(width=W, height=H, max_draws=128,
-                                        max_stream=1 << 15, max_merged=1 << 13,
-                                        max_pairs=1 << 16, chunk=128))
+                                        max_stream=1 << 15, min_stream=1 << 12,
+                                        chunk=128))
     r.configure(ud)
     sp = SceneParams.from_data(ud, engine.center_coord, rc)
     img = r.render(dt, camera, sp, rc)
@@ -192,10 +191,11 @@ def test_overflow_reported(engine):
                     np.deg2rad(60.0), 0.1, 200.0)
     dt = engine.sort_tiles(cam_pos, camera.view_proj())
     r = Renderer(engine, RendererConfig(width=W, height=H, max_draws=128,
-                                        max_stream=1 << 15, max_merged=1 << 13,
-                                        max_pairs=256, chunk=128))
+                                        max_stream=1 << 15, min_stream=1 << 12,
+                                        chunk=128, pairs_factor=0.25))
     r.configure(ud)
-    sp = SceneParams.from_data(ud, engine.center_coord,
-                               RenderConfig.new(engine.n_tiles[0]))
-    r.render(dt, camera, sp)
+    rc = RenderConfig.new(engine.n_tiles[0])
+    rc.splat_scale = 4.0  # blow up coverage to overflow the pair budget
+    sp = SceneParams.from_data(ud, engine.center_coord, rc)
+    r.render(dt, camera, sp, rc)
     assert bool(r.last_aux["overflow"])
