@@ -61,7 +61,7 @@ class RendererConfig:
     max_draws: int = 16384
     max_stream: int = 1 << 22
     min_stream: int = 1 << 14
-    pairs_factor: float = 4.0  # max_pairs = stream_bucket * pairs_factor
+    pairs_factor: float = 2.0  # max_pairs = stream_bucket * pairs_factor
     interpret: bool | None = None  # None = auto (interpret off on TPU)
 
 
@@ -135,57 +135,52 @@ class Renderer:
     # ------------------------------------------------------------------ #
     def assemble_stream_host(self, dt: DrawTable):
         """Concatenate per-draw streams (renderer.rs:466-591's draw loop as a
-        memcpy) in REVERSED draw order => front-to-back. Returns numpy
+        reversed segmented memcpy, in C++) => front-to-back. Returns numpy
         (packed [S_pad], map [S_pad], draw_id [S_pad], total, n_draws)."""
+        from .. import native
+
         c = self.cfg
         n = min(dt.n_draws, c.max_draws)
-        packed_parts = []
-        map_parts = []
-        counts = np.zeros(n, np.int64)
-        total = 0
-        for i in range(n):
-            cnt = int(dt.splat_count[i])
-            if total + cnt > c.max_stream:
-                cnt = max(c.max_stream - total, 0)
-            counts[i] = cnt
-            if cnt == 0:
-                packed_parts.append(None)
-                map_parts.append(None)
-                continue
-            if dt.stream_start[i] >= 0:
-                s0 = int(dt.stream_start[i])
-                pk = (
-                    dt.stream_gs_index[s0 : s0 + cnt].astype(np.int64)
-                    | (dt.stream_lod_id[s0 : s0 + cnt].astype(np.int64) << GS_BITS)
-                ).astype(np.int32)
-                mp = dt.stream_map_id[s0 : s0 + cnt].astype(np.int32)
-            else:
-                off = int(
-                    self.preload_offset_host[
-                        int(dt.base_lod[i]), int(dt.base_tile[i]), int(dt.base_view[i])
-                    ]
-                )
-                pk = self.preload_packed_host[off : off + cnt]
-                mp = None
-            packed_parts.append(pk)
-            map_parts.append(mp)
-            total += cnt
+        counts = dt.splat_count[:n].astype(np.int64)
+        cum = np.cumsum(counts)
+        # truncate draws overflowing the stream capacity
+        over = int(np.searchsorted(cum, c.max_stream, side="right"))
+        counts = counts.copy()
+        if over < n:
+            prev = int(cum[over - 1]) if over > 0 else 0
+            counts[over] = c.max_stream - prev
+            counts[over + 1 :] = 0
+        total = int(counts.sum())
+
+        preload_off = np.zeros(n, np.int64)
+        pre_mask = dt.stream_start[:n] < 0
+        if pre_mask.any():
+            bl = np.clip(dt.base_lod[:n], 0, self.preload_offset_host.shape[0] - 1)
+            bt = np.clip(dt.base_tile[:n], 0, self.preload_offset_host.shape[1] - 1)
+            bv = np.clip(dt.base_view[:n], 0, self.preload_offset_host.shape[2] - 1)
+            preload_off[:] = self.preload_offset_host[bl, bt, bv]
+
+        merged_packed = (
+            dt.stream_gs_index.astype(np.int64)
+            | (dt.stream_lod_id.astype(np.int64) << GS_BITS)
+        ).astype(np.int32)
+        if len(merged_packed) == 0:
+            merged_packed = np.zeros(1, np.int32)
+            merged_map = np.zeros(1, np.int32)
+        else:
+            merged_map = dt.stream_map_id.astype(np.int32)
 
         s_pad = _next_pow2(total, c.min_stream, c.max_stream)
         packed = np.zeros(s_pad, np.int32)
         mapid = np.zeros(s_pad, np.int32)
         draw_id = np.full(s_pad, max(n - 1, 0), np.int32)
-        # reversed draw order; within-draw order also reversed (global flip)
-        pos = 0
-        for i in range(n - 1, -1, -1):
-            cnt = int(counts[i])
-            if cnt == 0:
-                continue
-            packed[pos : pos + cnt] = packed_parts[i][::-1]
-            if map_parts[i] is not None:
-                mapid[pos : pos + cnt] = map_parts[i][::-1]
-            draw_id[pos : pos + cnt] = i
-            pos += cnt
+        native.assemble_stream(
+            self.preload_packed_host, merged_packed, merged_map, preload_off,
+            dt.stream_start[:n].astype(np.int64), counts,
+            packed, mapid, draw_id,
+        )
+        if total < s_pad:
+            draw_id[total:] = max(n - 1, 0)
         return packed, mapid, draw_id, total, n
 
     def prepare_draws(self, dt: DrawTable, n: int, total: int):
