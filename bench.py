@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Headline benchmark: 1080p infinite-terrain fly-through FPS on one chip.
+
+Reproduces the reference's fly-path benchmark harness (gui.rs:955-997) on the
+paper's default configuration (97x97 tile map, tile width 4, Graph tile sort,
+Edge merge topk=100 dot=0.2, LRU 1024, LOD blending; structure.rs:70-99) over
+a synthetic Wang tile set (the official tile sets are produced by the paper's
+offline constructor and are not vendored in the reference repo).
+
+FPS counts device-complete frames (jax.block_until_ready per frame, no host
+readback): the dev harness tunnels device<->host transfers at ~15 MB/s, which
+would otherwise measure the tunnel, not the renderer.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
+vs_baseline = fps / 60 (BASELINE.md target: >= 60 FPS at 1080p).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    t_start = time.time()
+    from gswt_renderer_tpu.core import UserData
+    from gswt_renderer_tpu.core.config import SurfaceType
+    from gswt_renderer_tpu.engine import Engine, FlyPathControl, FlyPathFrame
+    from gswt_renderer_tpu.io.synth import synthetic_scene_vec
+    from gswt_renderer_tpu.render.pipeline import RendererConfig
+
+    width, height = 1920, 1080
+    scene_vec = synthetic_scene_vec(n_lod=3, splats_per_tile=512, seed=0)
+
+    eng = Engine(
+        scene_vec,
+        viewport=(width, height),
+        renderer_config=RendererConfig(width=width, height=height),
+        synchronous=False,
+    )
+    # paper default benchmark config (structure.rs:70-99, 123-137), with the
+    # height amplitude scaled for the synthetic set
+    ud = UserData.from_ui(
+        tile_map_half_wh=(48, 48),
+        tile_width=4.0,
+        surface_type=SurfaceType.HEIGHT_MAP,
+        height_map_wh=(10, 10),
+        height_map_scale=(1.0, 0.3),
+        lod_max_dist=96.0,
+        lod_transition_width_ratio=0.05,
+        merge_dot_threshold=0.2,
+        merge_topk=100,
+        cache_size=1024,
+    )
+    eng.configure(ud)
+    assert eng.wait_ready(timeout_s=300), "engine did not produce a frame"
+
+    # warm-up / compile
+    for _ in range(3):
+        eng.frame(readback=False)
+
+    # scripted fly path crossing several tiles with a turn (15 s)
+    fp = FlyPathControl()
+    kf = [
+        (0.0, (0.0, 0.0, 5.0), (0.0, 30.0, 2.0)),
+        (5.0, (6.0, 18.0, 5.0), (10.0, 48.0, 2.0)),
+        (10.0, (2.0, 40.0, 6.0), (-20.0, 60.0, 1.0)),
+        (15.0, (-10.0, 55.0, 5.0), (-30.0, 80.0, 2.0)),
+    ]
+    for t, p, tgt in kf:
+        fp.keyframes.append(
+            FlyPathFrame(t, np.array(p, np.float32), np.array(tgt, np.float32))
+        )
+
+    result = eng.run_benchmark(fp, readback=False)
+    eng.shutdown()
+
+    fps = result["fps"]
+    aux = eng.renderer.last_aux or {}
+    meta = dict(
+        frames=result["frames"],
+        frame_ms=round(result["frame_ms"][0], 2),
+        sort_ms=round(result["sort_ms"][0], 2),
+        build_ms=round(result["build_ms"][0], 2),
+        sort_trigger=round(result["sort_trigger"], 3),
+        n_pairs=int(aux.get("n_pairs", 0)),
+        setup_s=round(time.time() - t_start - result["wall_ms"] / 1e3, 1),
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "1080p infinite-terrain fly-through FPS (device-complete)",
+                "value": round(fps, 2),
+                "unit": "fps",
+                "vs_baseline": round(fps / 60.0, 4),
+                "meta": meta,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,397 @@
+"""Session engine: frame orchestration + async builder thread.
+
+Reproduces the reference's session layer (state.rs):
+- a builder thread owning the WangTileEngine, polling queues for
+  (re)configuration, camera positions (rebuild when moved >= update_distance2)
+  and view-projections (re-sort when the L1 matrix delta >= 0.01 unless
+  always_sort) — state.rs:440-564;
+- id-paired double buffering: SceneData and DrawTable produced by the builder
+  are promoted together only when their scene ids match — state.rs:337-376;
+- config generations (config_id) so stale builder replies are dropped —
+  state.rs:261-289;
+- per-frame metrics: frame/sort/build moving averages + trigger rates —
+  state.rs:293-311;
+- the fly-path benchmark harness (gui.rs:955-997);
+- checkpoint/resume: full UserData + camera + RNG state to JSON (extending
+  the reference's fly-path-only persistence, control.rs:535-578).
+"""
+
+from __future__ import annotations
+
+import enum
+import json
+import queue
+import threading
+
+import numpy as np
+
+from ..core.camera import Camera
+from ..core.config import RenderConfig, UserData
+from ..core.metrics import IncrementalMA, get_time_milliseconds
+from ..render.pipeline import Renderer, RendererConfig
+from ..render.uniforms import SceneParams
+from ..tiles.wangtile import WangTileEngine
+from .control import FlyPathControl, KeyboardFlyControl
+
+
+class EngineStatus(enum.Enum):
+    CONFIG = "config"          # structure.rs:429-433
+    POST_CONFIG = "post_config"
+    RENDER = "render"
+
+
+class _Builder:
+    """The worker thread (state.rs:440-564)."""
+
+    def __init__(self, wang: WangTileEngine):
+        self.wang = wang
+        self.q_user_data = queue.Queue()
+        self.q_build_info = queue.Queue()
+        self.q_vp = queue.Queue()
+        self.out_user_data = queue.Queue()
+        self.out_scene = queue.Queue()
+        self.out_sort = queue.Queue()
+        self.out_build_time = queue.Queue()
+        self.out_sort_time = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    @staticmethod
+    def _drain(q):
+        item = None
+        got = False
+        while True:
+            try:
+                item = q.get_nowait()
+                got = True
+            except queue.Empty:
+                return got, item
+
+    def _run(self):
+        cur_camera_pos = None
+        prev_vp = None
+        next_scene_id = 0
+        while not self._stop.is_set():
+            idle = True
+            got, user_data = self._drain(self.q_user_data)
+            if got:
+                cfg = self.wang.configure(user_data)
+                self.out_user_data.put(cfg)
+                cur_camera_pos = None
+                prev_vp = None
+                idle = False
+
+            got, binfo = self._drain(self.q_build_info)
+            if got:
+                do_build, camera_pos = binfo
+                cur_camera_pos = np.asarray(camera_pos, np.float32)
+                if do_build and self.wang.check_update(cur_camera_pos):
+                    start = get_time_milliseconds()
+                    scene_data = self.wang.build_tiles(cur_camera_pos)
+                    scene_data.scene_id = next_scene_id
+                    self.out_scene.put(scene_data)
+                    self.out_build_time.put(get_time_milliseconds() - start)
+                    next_scene_id += 1
+                idle = False
+
+            got, vp = self._drain(self.q_vp)
+            if got and cur_camera_pos is not None:
+                skip = False
+                if not self.wang.user_data.always_sort and prev_vp is not None:
+                    if float(np.abs(prev_vp - vp).sum()) < 0.01:
+                        skip = True  # state.rs:527-548
+                if not skip:
+                    prev_vp = vp
+                    start = get_time_milliseconds()
+                    dt = self.wang.sort_tiles(cur_camera_pos, vp)
+                    dt.scene_id = next_scene_id - 1
+                    self.out_sort.put(dt)
+                    self.out_sort_time.put(get_time_milliseconds() - start)
+                idle = False
+
+            if idle:
+                self._stop.wait(0.001)
+
+
+class Engine:
+    """The TPU renderer session (State in state.rs)."""
+
+    def __init__(self, scene_vec, viewport=(1920, 1080),
+                 renderer_config: RendererConfig | None = None,
+                 synchronous: bool = False):
+        self.camera = Camera.default(viewport)
+        self.keyboard = KeyboardFlyControl()
+        self.fly_path = FlyPathControl()
+        self.camera_control = "keyboard"  # or "flypath"
+        self.lockon_center = False
+        self.lock_tile = False
+        self.lock_sort = False
+        self.synchronous = synchronous
+
+        self.wang = WangTileEngine(scene_vec)
+        rc = renderer_config or RendererConfig(
+            width=viewport[0], height=viewport[1]
+        )
+        self.renderer = Renderer(self.wang, rc)
+        self.render_config = RenderConfig.new(self.wang.n_tiles[0])
+        self.use_skybox = False
+        self.use_proxy = False
+        self.render_gs = True
+
+        self.status = EngineStatus.CONFIG
+        self.config_user_data: UserData | None = None
+        self._config_id = 0
+
+        # double buffering (state.rs:337-376)
+        self.cur_scene = None
+        self.next_scene = None
+        self.cur_sort = None
+        self.next_sort = None
+        self._staged = None
+        self._staged_id = None
+
+        # metrics (structure.rs:224-230)
+        window = 200
+        self.frame_time_ma = IncrementalMA(window)
+        self.sort_time_ma = IncrementalMA(window)
+        self.build_time_ma = IncrementalMA(window)
+        self.sort_trigger_ma = IncrementalMA(window)
+        self.build_trigger_ma = IncrementalMA(window)
+        self._frame_prev = get_time_milliseconds()
+
+        self.builder = None if synchronous else _Builder(self.wang)
+        self.scene_params: SceneParams | None = None
+        self.last_image = None
+
+    # ------------------------------------------------------------------ #
+    def configure(self, user_data: UserData):
+        """Submit a configuration (GUI Confirm, gui.rs:394-408)."""
+        self._config_id += 1
+        user_data.config_id = self._config_id
+        self.status = EngineStatus.POST_CONFIG
+        if self.synchronous:
+            cfg = self.wang.configure(user_data)
+            self._finish_configure(cfg)
+        else:
+            self.builder.q_user_data.put(user_data)
+
+    def _finish_configure(self, cfg: UserData):
+        if cfg.config_id != self._config_id:
+            return  # stale reply (state.rs:261-262)
+        self.config_user_data = cfg
+        self.renderer.configure(cfg)
+        self.status = EngineStatus.RENDER
+        self.cur_scene = self.next_scene = None
+        self.cur_sort = self.next_sort = None
+        self._staged = None
+        self._staged_id = None
+
+    # ------------------------------------------------------------------ #
+    def handle_key(self, key: str, pressed: bool):
+        if self.camera_control == "keyboard":
+            self.keyboard.handle_key(key, pressed)
+
+    def update(self) -> bool:
+        """Per-frame camera update (state.rs:221-235)."""
+        if self.camera_control == "keyboard":
+            return self.keyboard.update(
+                self.camera, self.frame_time_ma.calc()[0], self.lockon_center
+            )
+        return self.fly_path.handle_events(self.camera)
+
+    # ------------------------------------------------------------------ #
+    def _pump_builder(self, update_worker: bool):
+        """Send camera state, receive build/sort results, promote pairs."""
+        if self.synchronous:
+            if update_worker:
+                if not self.lock_tile and self.wang.check_update(self.camera.position):
+                    start = get_time_milliseconds()
+                    sd = self.wang.build_tiles(self.camera.position)
+                    sd.scene_id = getattr(self, "_sync_id", 0)
+                    self.build_time_ma.add(get_time_milliseconds() - start)
+                    self.build_trigger_ma.add(1.0)
+                    self.next_scene = sd
+                    self._sync_id = sd.scene_id + 1
+                else:
+                    self.build_trigger_ma.add(0.0)
+                if not self.lock_sort:
+                    start = get_time_milliseconds()
+                    dt = self.wang.sort_tiles(
+                        self.camera.position, self.camera.view_proj()
+                    )
+                    dt.scene_id = getattr(self, "_sync_id", 1) - 1
+                    self.sort_time_ma.add(get_time_milliseconds() - start)
+                    self.sort_trigger_ma.add(1.0)
+                    self.next_sort = dt
+        else:
+            b = self.builder
+            if update_worker:
+                b.q_build_info.put((not self.lock_tile, self.camera.position.copy()))
+                if not self.lock_sort:
+                    b.q_vp.put(self.camera.view_proj())
+            got, t = b._drain(b.out_sort_time)
+            self.sort_time_ma.add(t) if got else None
+            self.sort_trigger_ma.add(1.0 if got else 0.0)
+            got, t = b._drain(b.out_build_time)
+            self.build_time_ma.add(t) if got else None
+            self.build_trigger_ma.add(1.0 if got else 0.0)
+            got, sd = b._drain(b.out_scene)
+            if got:
+                self.next_scene = sd
+            got, dt = b._drain(b.out_sort)
+            if got:
+                self.next_sort = dt
+            got, cfg = b._drain(b.out_user_data)
+            if got and self.status == EngineStatus.POST_CONFIG:
+                self._finish_configure(cfg)
+
+        # promote a matching (scene, sort) pair (state.rs:361-376)
+        if (
+            self.next_scene is not None
+            and self.next_sort is not None
+            and self.next_scene.scene_id == self.next_sort.scene_id
+        ):
+            self.cur_scene = self.next_scene
+            self.cur_sort = self.next_sort
+            self.next_scene = None
+            self.next_sort = None
+
+    def frame(self, update_worker: bool = True, readback: bool = True):
+        """One frame: update camera, pump the builder, render.
+        Returns the image ([H,W,4] numpy) or None while not ready."""
+        now = get_time_milliseconds()
+        self.frame_time_ma.add(now - self._frame_prev)
+        self._frame_prev = now
+
+        if self.status == EngineStatus.POST_CONFIG and not self.synchronous:
+            self._pump_builder(False)
+        if self.status != EngineStatus.RENDER:
+            return None
+
+        moved = self.update()
+        self._pump_builder(update_worker and moved)
+        if self.cur_scene is None or self.cur_sort is None:
+            return None
+
+        if self._staged_id is not id(self.cur_sort):
+            self._staged = self.renderer.stage(
+                self.cur_sort, self.camera, self.render_config.culling_dist
+            )
+            self._staged_id = id(self.cur_sort)
+
+        self.scene_params = SceneParams.from_data(
+            self.config_user_data, self.cur_scene.center_coord, self.render_config
+        )
+        img = self.renderer.render(
+            self.cur_sort, self.camera, self.scene_params, self.render_config,
+            render_gs=self.render_gs, use_skybox=self.use_skybox,
+            use_proxy=self.use_proxy, staged=self._staged,
+            as_numpy=readback,
+        )
+        self.last_image = img
+        return img
+
+    def wait_ready(self, timeout_s: float = 60.0):
+        """Block until the first (scene, sort) pair is renderable."""
+        start = get_time_milliseconds()
+        while get_time_milliseconds() - start < timeout_s * 1000.0:
+            img = self.frame(readback=False)
+            if img is not None:
+                return True
+        return False
+
+    # ------------------------------------------------------------------ #
+    def run_benchmark(self, fly_path: FlyPathControl, readback: bool = False,
+                      max_frames: int = 100000):
+        """Fly-path benchmark (gui.rs:955-997): clears all MAs, replays the
+        path, returns mean/std of frame/sort/build time + trigger rates."""
+        import jax
+
+        for ma in (
+            self.frame_time_ma, self.sort_time_ma, self.build_time_ma,
+            self.sort_trigger_ma, self.build_trigger_ma,
+        ):
+            ma.clear()
+        self.fly_path = fly_path
+        self.camera_control = "flypath"
+        fly_path.reset_path()
+        fly_path.start_path()
+        frames = 0
+        t0 = get_time_milliseconds()
+        while not fly_path.finished and frames < max_frames:
+            img = self.frame(readback=readback)
+            if img is not None and not readback:
+                jax.block_until_ready(img)
+            frames += 1
+        wall = get_time_milliseconds() - t0
+        self.camera_control = "keyboard"
+        f_avg, f_std = self.frame_time_ma.calc()
+        s_avg, s_std = self.sort_time_ma.calc()
+        b_avg, b_std = self.build_time_ma.calc()
+        return dict(
+            frames=frames,
+            wall_ms=wall,
+            fps=frames / (wall / 1000.0) if wall > 0 else 0.0,
+            frame_ms=(f_avg, f_std),
+            sort_ms=(s_avg, s_std),
+            build_ms=(b_avg, b_std),
+            sort_trigger=self.sort_trigger_ma.calc()[0],
+            build_trigger=self.build_trigger_ma.calc()[0],
+        )
+
+    @staticmethod
+    def format_benchmark(r) -> str:
+        """LaTeX-style dump like the reference (gui.rs:980-997)."""
+        return (
+            "Render & Sort & Update\\\\\n"
+            f"${r['frame_ms'][0]:.2f} \\pm {r['frame_ms'][1]:.2f}$ & "
+            f"${r['sort_ms'][0]:.2f} \\pm {r['sort_ms'][1]:.2f}$ & "
+            f"${r['build_ms'][0]:.2f} \\pm {r['build_ms'][1]:.2f}$"
+        )
+
+    # ------------------------------------------------------------------ #
+    def save_checkpoint(self, path):
+        """Full session checkpoint: UserData + camera + RNG state."""
+        state = dict(
+            user_data=json.loads(self.config_user_data.to_json())
+            if self.config_user_data
+            else None,
+            camera=dict(
+                position=self.camera.position.tolist(),
+                target=self.camera.target.tolist(),
+                up=self.camera.up.tolist(),
+                fovy=self.camera.fovy,
+                z_near=self.camera.z_near,
+                z_far=self.camera.z_far,
+                viewport=list(self.camera.viewport),
+            ),
+            rng_state=json.loads(
+                json.dumps(self.wang.rng.bit_generator.state)
+            ),
+        )
+        with open(path, "w") as f:
+            json.dump(state, f, indent=2)
+
+    def load_checkpoint(self, path):
+        with open(path) as f:
+            state = json.load(f)
+        cam = state["camera"]
+        self.camera = Camera(
+            cam["viewport"], cam["position"], cam["target"], cam["up"],
+            cam["fovy"], cam["z_near"], cam["z_far"],
+        )
+        if state.get("user_data"):
+            ud = UserData.from_json(json.dumps(state["user_data"]))
+            ud.reset_rng = False
+            self.configure(ud)
+        if state.get("rng_state"):
+            self.wang.rng.bit_generator.state = state["rng_state"]
+
+    def shutdown(self):
+        if self.builder is not None:
+            self.builder.stop()

@@ -1,0 +1,171 @@
+"""Multi-chip rendering over a jax.sharding.Mesh.
+
+The reference has no multi-device story (SURVEY §2: its parallelism is a
+host worker thread + the GPU itself); this module is the new TPU-native
+scaling design (BASELINE config 5):
+
+- **Camera parallel (dp)**: a batch of cameras sharded across devices; each
+  device renders its cameras with the full resident scene (dataset
+  generation: 64 cameras over a v5e-8 mesh). No collectives on the hot path.
+
+- **Stream parallel (sp)**: ONE camera whose front-to-back splat stream is
+  sharded across devices. Ordered alpha compositing factors through the
+  associative operator
+      (c1, T1) o (c2, T2) = (c1 + T1*c2, T1*T2)
+  so each device composites its contiguous stream segment locally and the
+  per-device (premultiplied color, transmittance) images fold across the
+  mesh axis in stream order — the sequence-parallel analog for splatting,
+  with one all_gather of images as the only collective.
+
+Both modes compose on a 2D ('dp', 'sp') mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(shape=None, axis_names=("dp", "sp"), devices=None):
+    """Create a Mesh over the available devices; shape defaults to
+    (n_devices, 1)."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if shape is None:
+        shape = (n, 1)
+    assert shape[0] * shape[1] == n, f"mesh {shape} != {n} devices"
+    dev = np.array(devices).reshape(shape)
+    return Mesh(dev, axis_names)
+
+
+def composite_over(front, back):
+    """Premultiplied front-over-back for (rgb, alpha) images [..., 4]:
+    out = front + (1 - front_alpha) * back."""
+    t = 1.0 - front[..., 3:4]
+    return front + t * back
+
+
+def render_cameras_sharded(renderer, staged, scene_params, cam_dicts, mesh,
+                           render_config=None):
+    """Render a batch of cameras, sharded over the mesh 'dp' axis.
+
+    cam_dicts: pytree of stacked camera arrays [B, ...] (from
+    Renderer.cam_dict per camera, stacked). B must divide by mesh dp size.
+    Returns images [B, H, W, 4] sharded over dp.
+    """
+    from ..core.config import RenderConfig
+
+    rc = render_config or RenderConfig.new(renderer.engine.n_tiles[0])
+    sp_scene = renderer.scene_dict(scene_params)
+    lod_enable = jnp.asarray(
+        [1 if b else 0 for b in (rc.lod_enable or [True] * 16)], jnp.int32
+    )
+    stream = staged["stream"]
+    draw = staged["draw"]
+    frame = functools.partial(
+        renderer._frame,
+        surface_type=int(scene_params.surface_type),
+        draw_mode=int(rc.draw_mode),
+        point_cloud=bool(rc.draw_point_cloud),
+        use_skybox=False,
+        use_proxy=False,
+        proxy_opts={},
+    )
+    sky = jnp.zeros((1, 1, 3))
+    prox = jnp.zeros((1, 1, 3))
+    culld = jnp.float32(rc.culling_dist)
+
+    def per_device(cams_local):
+        def body(carry, cam):
+            img, _ = frame(
+                renderer.store_packed, stream, draw, sp_scene, cam,
+                lod_enable, culld, renderer.hm4, sky, prox,
+            )
+            return carry, img
+
+        _, imgs = jax.lax.scan(body, 0, cams_local)
+        return imgs
+
+    shard = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P("dp"),),
+        out_specs=P("dp"),
+        check_vma=False,
+    )
+    return shard(cam_dicts)
+
+
+def render_stream_sharded(renderer, staged, scene_params, cam_dict, mesh,
+                          render_config=None):
+    """Render ONE camera with the splat stream sharded over the 'sp' axis.
+
+    Each device projects/bins/composites its contiguous front-to-back stream
+    segment; the segment images fold with the associative over-operator in
+    stream order (front segment = shard 0). Returns the final [H, W, 4]
+    image (replicated)."""
+    from ..core.config import RenderConfig
+
+    rc = render_config or RenderConfig.new(renderer.engine.n_tiles[0])
+    sp_scene = renderer.scene_dict(scene_params)
+    lod_enable = jnp.asarray(
+        [1 if b else 0 for b in (rc.lod_enable or [True] * 16)], jnp.int32
+    )
+    stream = staged["stream"]
+    draw = staged["draw"]
+    n_sp = mesh.shape["sp"]
+    s_pad = stream["packed"].shape[0]
+    assert s_pad % n_sp == 0
+    seg = s_pad // n_sp
+
+    frame = functools.partial(
+        renderer._frame,
+        surface_type=int(scene_params.surface_type),
+        draw_mode=int(rc.draw_mode),
+        point_cloud=bool(rc.draw_point_cloud),
+        use_skybox=False,
+        use_proxy=False,
+        proxy_opts={},
+    )
+    sky = jnp.zeros((1, 1, 3))
+    prox = jnp.zeros((1, 1, 3))
+    culld = jnp.float32(rc.culling_dist)
+
+    def per_device(packed, mapid, draw_id):
+        # local segment: adjust total_splats to the local slice
+        idx = jax.lax.axis_index("sp")
+        start = idx * seg
+        total = draw["total_splats"].astype(jnp.int32)
+        local_total = jnp.clip(total - start, 0, seg)
+        local_draw = dict(draw)
+        local_draw["total_splats"] = local_total
+        img, _ = frame(
+            renderer.store_packed,
+            dict(packed=packed[0], map=mapid[0], draw_id=draw_id[0]),
+            local_draw, sp_scene, cam_dict, lod_enable, culld,
+            renderer.hm4, sky, prox,
+        )
+        # fold segment images front-to-back across 'sp'
+        imgs = jax.lax.all_gather(img, "sp")  # [n_sp, H, W, 4]
+
+        def fold(carry, nxt):
+            return composite_over(carry, nxt), None
+
+        out, _ = jax.lax.scan(fold, imgs[0], imgs[1:])
+        return out[None]
+
+    shard = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P("sp"), P("sp"), P("sp")),
+        out_specs=P(),
+        check_vma=False,
+    )
+    packed = stream["packed"].reshape(n_sp, seg)
+    mapid = stream["map"].reshape(n_sp, seg)
+    draw_id = stream["draw_id"].reshape(n_sp, seg)
+    return shard(packed, mapid, draw_id)

@@ -98,6 +98,41 @@ class Renderer:
         ).astype(np.int32)
         self.preload_offset_host = poff  # [n_lod, n_tile, n_view] i64
 
+        # Filtered per-(l,t,v) tables holding only the lod-l entries of the
+        # blended presort order: a non-changing draw discards the blended
+        # lower-lod entries in the shader anyway (valid_lod_id,
+        # gswt.wgsl:39-42), so assembling the filtered list is exact and
+        # roughly halves the per-frame stream.
+        n_lod, n_tile, n_view = engine.n_tiles
+        f_chunks = []
+        self.filtered_offset_host = np.zeros((n_lod, n_tile, n_view), np.int64)
+        self.filtered_count_host = np.zeros((n_lod, n_tile, n_view), np.int64)
+        pos = 0
+        for l in range(n_lod):
+            for t in range(n_tile):
+                for v in range(n_view):
+                    bd = engine.tile_base_data[l][t][v]
+                    sel = bd.gs_index[bd.gs_lod_id == l]
+                    self.filtered_offset_host[l, t, v] = pos
+                    self.filtered_count_host[l, t, v] = len(sel)
+                    f_chunks.append(sel)
+                    pos += len(sel)
+        fgi = np.concatenate(f_chunks).astype(np.int64)
+        # all filtered entries have lod == their own l; pack it
+        flod = np.repeat(
+            np.arange(n_lod, dtype=np.int64),
+            [
+                int(self.filtered_count_host[l].sum())
+                for l in range(n_lod)
+            ],
+        )
+        filtered_packed = (fgi | (flod << GS_BITS)).astype(np.int32)
+        # single concatenated table so the C++ assembler takes one pointer
+        self.filtered_offset_host += len(self.preload_packed_host)
+        self.preload_packed_host = np.concatenate(
+            [self.preload_packed_host, filtered_packed]
+        )
+
         self.height_map_wh = (1, 1)
         self.hm4 = jnp.zeros((4, 1), jnp.float32)
         self.skybox_tex = None
@@ -133,15 +168,51 @@ class Renderer:
         self.proxy_wh = (t.shape[1], t.shape[0])
 
     # ------------------------------------------------------------------ #
-    def assemble_stream_host(self, dt: DrawTable):
+    @staticmethod
+    def host_cull(dt: DrawTable, n: int, view_proj: np.ndarray,
+                  culling_dist: float) -> np.ndarray:
+        """Per-draw viewport culling on the host (renderer.rs:471-494) with
+        the stage-time camera. Used with a margin over the render-time
+        culling distance so the exact per-frame device cull never disagrees.
+        Returns keep mask [n]."""
+        corners = dt.corner_pos[:n]  # [n,4,3]
+        hom = np.concatenate(
+            [corners, np.ones_like(corners[..., :1])], axis=-1
+        )
+        p = hom @ view_proj.T
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pd = p[..., :3] / p[..., 3:4]
+        px = np.min(np.abs(pd[..., 0]), axis=1)
+        py = np.min(np.abs(pd[..., 1]), axis=1)
+        pz = np.max(pd[..., 2], axis=1)
+        culled = (pz < -culling_dist) | (px > culling_dist) | (py > culling_dist)
+        culled &= (dt.single_draw[:n] == 0) & (dt.has_corners[:n] == 1)
+        return ~culled
+
+    def assemble_stream_host(self, dt: DrawTable, view_proj=None,
+                             culling_dist: float = 1.0):
         """Concatenate per-draw streams (renderer.rs:466-591's draw loop as a
         reversed segmented memcpy, in C++) => front-to-back. Returns numpy
-        (packed [S_pad], map [S_pad], draw_id [S_pad], total, n_draws)."""
+        (packed [S_pad], map [S_pad], draw_id [S_pad], total, n_draws).
+        With view_proj given, host-culled draws are dropped (with a margin;
+        the device cull stays exact)."""
         from .. import native
 
         c = self.cfg
         n = min(dt.n_draws, c.max_draws)
         counts = dt.splat_count[:n].astype(np.int64)
+        # non-merged, non-changing draws assemble from the filtered (own-lod)
+        # tables: the blended lower-lod entries would be shader-discarded
+        use_filtered = (dt.stream_start[:n] < 0) & (dt.changing[:n] == 0)
+        bl = np.clip(dt.base_lod[:n], 0, self.preload_offset_host.shape[0] - 1)
+        bt = np.clip(dt.base_tile[:n], 0, self.preload_offset_host.shape[1] - 1)
+        bv = np.clip(dt.base_view[:n], 0, self.preload_offset_host.shape[2] - 1)
+        counts = np.where(
+            use_filtered, self.filtered_count_host[bl, bt, bv], counts
+        )
+        if view_proj is not None and n > 0:
+            keep = self.host_cull(dt, n, view_proj, culling_dist * 1.25)
+            counts = np.where(keep, counts, 0)
         cum = np.cumsum(counts)
         # truncate draws overflowing the stream capacity
         over = int(np.searchsorted(cum, c.max_stream, side="right"))
@@ -152,13 +223,11 @@ class Renderer:
             counts[over + 1 :] = 0
         total = int(counts.sum())
 
-        preload_off = np.zeros(n, np.int64)
-        pre_mask = dt.stream_start[:n] < 0
-        if pre_mask.any():
-            bl = np.clip(dt.base_lod[:n], 0, self.preload_offset_host.shape[0] - 1)
-            bt = np.clip(dt.base_tile[:n], 0, self.preload_offset_host.shape[1] - 1)
-            bv = np.clip(dt.base_view[:n], 0, self.preload_offset_host.shape[2] - 1)
-            preload_off[:] = self.preload_offset_host[bl, bt, bv]
+        preload_off = np.where(
+            use_filtered,
+            self.filtered_offset_host[bl, bt, bv],
+            self.preload_offset_host[bl, bt, bv],
+        ).astype(np.int64)
 
         merged_packed = (
             dt.stream_gs_index.astype(np.int64)
@@ -242,13 +311,16 @@ class Renderer:
     def _frame(self, store_packed, stream, draw, scene, cam,
                lod_enable, culling_dist, hm4, skybox_tex, proxy_tex, *,
                surface_type, draw_mode, point_cloud, use_skybox, use_proxy,
-               proxy_opts):
+               proxy_opts, max_pairs=None):
         # the projection math needs true f32: default bf16 MXU passes break
         # the 1e-3 parity budget
         with jax.default_matmul_precision("highest"):
             c = self.cfg
             image_wh = (c.width, c.height)
             tile_wh = (c.tile_w, c.tile_h)
+            if max_pairs is None:
+                max_pairs = int(stream["packed"].shape[0] * c.pairs_factor)
+            max_pairs = max((max_pairs // c.chunk) * c.chunk, c.chunk)
 
             keep = project.cull_draws(draw, cam, culling_dist, lod_enable)
             p = project.assemble_and_project(
@@ -257,8 +329,6 @@ class Renderer:
                 surface_type=surface_type, draw_mode=draw_mode,
                 image_wh=image_wh, point_cloud=point_cloud,
             )
-            max_pairs = int(stream["packed"].shape[0] * c.pairs_factor)
-            max_pairs = max((max_pairs // c.chunk) * c.chunk, c.chunk)
             binned = binning.bin_pairs(
                 p, image_wh=image_wh, tile_wh=tile_wh, max_pairs=max_pairs,
                 chunk=c.chunk,
@@ -295,8 +365,8 @@ class Renderer:
 
     def _get_jit(self, key):
         if key not in self._frame_jit:
-            (s_pad, surface_type, draw_mode, point_cloud, use_skybox,
-             use_proxy, proxy_opts) = key
+            (s_pad, max_pairs, surface_type, draw_mode, point_cloud,
+             use_skybox, use_proxy, proxy_opts) = key
             fn = functools.partial(
                 self._frame,
                 surface_type=surface_type,
@@ -305,14 +375,35 @@ class Renderer:
                 use_skybox=use_skybox,
                 use_proxy=use_proxy,
                 proxy_opts=dict(proxy_opts),
+                max_pairs=max_pairs,
             )
             self._frame_jit[key] = jax.jit(fn)
         return self._frame_jit[key]
 
-    def stage(self, dt: DrawTable):
+    def _pairs_bucket(self, s_pad: int) -> int:
+        """Adaptive pair budget: bucket on the last observed pair count with
+        40% headroom (overflow triggers a doubled retry)."""
+        c = self.cfg
+        hint = getattr(self, "_pairs_hint", None)
+        if hint is None:
+            want = int(s_pad * c.pairs_factor)
+        else:
+            want = int(hint * 1.4)
+        want = max(want, c.chunk)
+        bucket = c.chunk
+        while bucket < want:
+            bucket *= 2
+        return bucket
+
+    def stage(self, dt: DrawTable, camera: Camera | None = None,
+              culling_dist: float = 1.0):
         """Per-SORT staging: assemble + upload the stream and draw tables.
-        The result is reused across frames until the next SortData."""
-        packed, mapid, draw_id, total, n = self.assemble_stream_host(dt)
+        The result is reused across frames until the next SortData. With a
+        camera, host-culls draws (coarse, margined) before upload."""
+        vp = camera.view_proj() if camera is not None else None
+        packed, mapid, draw_id, total, n = self.assemble_stream_host(
+            dt, vp, culling_dist
+        )
         draw_np = self.prepare_draws(dt, n, total)
         stream = dict(
             packed=jnp.asarray(packed),
@@ -330,7 +421,7 @@ class Renderer:
         """Render one frame; returns [H, W, 4] float32."""
         rc = render_config or RenderConfig.new(self.engine.n_tiles[0])
         if staged is None:
-            staged = self.stage(dt)
+            staged = self.stage(dt, camera, rc.culling_dist)
         stream = staged["stream"]
         draw = staged["draw"]
         if not render_gs:
@@ -346,22 +437,31 @@ class Renderer:
             ("use_clip", bool(rc.use_clip)),
             ("clip_height", float(rc.clip_height)),
         )
-        key = (
-            staged["s_pad"],
-            int(scene.surface_type),
-            int(rc.draw_mode),
-            bool(rc.draw_point_cloud),
-            bool(use_skybox and self.skybox_tex is not None),
-            bool(use_proxy and self.proxy_tex is not None),
-            proxy_opts,
-        )
-        fn = self._get_jit(key)
         sky = self.skybox_tex if self.skybox_tex is not None else jnp.zeros((1, 1, 3))
         prox = self.proxy_tex if self.proxy_tex is not None else jnp.zeros((1, 1, 3))
-        img, aux = fn(
-            self.store_packed, stream, draw,
-            self.scene_dict(scene), self.cam_dict(CameraUniforms(camera)),
-            lod_enable, jnp.float32(rc.culling_dist), self.hm4, sky, prox,
-        )
-        self.last_aux = jax.device_get(aux)
+        self.last_overflow_retries = 0
+        for _attempt in range(3):
+            key = (
+                staged["s_pad"],
+                self._pairs_bucket(staged["s_pad"]),
+                int(scene.surface_type),
+                int(rc.draw_mode),
+                bool(rc.draw_point_cloud),
+                bool(use_skybox and self.skybox_tex is not None),
+                bool(use_proxy and self.proxy_tex is not None),
+                proxy_opts,
+            )
+            fn = self._get_jit(key)
+            img, aux = fn(
+                self.store_packed, stream, draw,
+                self.scene_dict(scene), self.cam_dict(CameraUniforms(camera)),
+                lod_enable, jnp.float32(rc.culling_dist), self.hm4, sky, prox,
+            )
+            self.last_aux = jax.device_get(aux)
+            self._pairs_hint = max(int(self.last_aux["n_pairs"]), 1)
+            if not bool(self.last_aux["overflow"]):
+                break
+            # overflow: grow the hint and re-render for a complete frame
+            self._pairs_hint = int(key[1] * 2)
+            self.last_overflow_retries += 1
         return np.asarray(jax.device_get(img)) if as_numpy else img

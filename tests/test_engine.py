@@ -1,0 +1,127 @@
+import numpy as np
+import pytest
+
+from gswt_renderer_tpu.core import Camera, UserData
+from gswt_renderer_tpu.core.config import SelectiveMergeType, SurfaceType, TileSortType
+from gswt_renderer_tpu.engine import Engine, FlyPathControl, FlyPathFrame, KeyboardFlyControl
+from gswt_renderer_tpu.io.synth import synthetic_scene_vec
+from gswt_renderer_tpu.render.pipeline import RendererConfig
+
+
+def _small_engine(synchronous=True):
+    sv = synthetic_scene_vec(n_lod=2, splats_per_tile=48)
+    eng = Engine(
+        sv,
+        viewport=(64, 64),
+        renderer_config=RendererConfig(
+            width=64, height=64, max_draws=64, max_stream=1 << 13,
+            min_stream=1 << 11, chunk=128,
+        ),
+        synchronous=synchronous,
+    )
+    ud = UserData.from_ui(
+        tile_map_half_wh=(2, 2), height_map_scale=(1.0, 0.0), lod_max_dist=8.0,
+        surface_type=SurfaceType.NONE, merge_type=SelectiveMergeType.NONE,
+        tile_sort_type=TileSortType.DISTANCE, lod_blending=False,
+    )
+    eng.configure(ud)
+    return eng
+
+
+def test_keyboard_fly_moves_camera():
+    c = KeyboardFlyControl()
+    cam = Camera.default((64, 64))
+    p0 = cam.position.copy()
+    c.handle_key("w", True)
+    for _ in range(20):
+        c.update(cam, 16.0)
+    assert cam.position[1] > p0[1]  # default camera looks +y
+    assert np.isclose(cam.position[2], p0[2])  # z-locked horizontal move
+    c.handle_key("w", False)
+    for _ in range(200):
+        c.update(cam, 16.0)
+    assert all(s == 0.0 for s in c.speed)
+
+
+def test_flypath_catmull_rom_and_json():
+    fp = FlyPathControl()
+    fp.keyframes = [
+        FlyPathFrame(0.0, np.array([0, 0, 0], np.float32), np.array([1, 0, 0], np.float32)),
+        FlyPathFrame(1.0, np.array([10, 0, 0], np.float32), np.array([11, 0, 0], np.float32)),
+        FlyPathFrame(2.0, np.array([10, 10, 0], np.float32), np.array([10, 11, 0], np.float32)),
+    ]
+    fp.reset_path()
+    fp.start_path()
+    cam = Camera.default((64, 64))
+    # drive by explicit time
+    assert fp.handle_events(cam, now_ms=500.0)
+    assert 0 < cam.position[0] < 10
+    assert fp.handle_events(cam, now_ms=1500.0)
+    assert cam.position[1] > 0
+    assert not fp.handle_events(cam, now_ms=2500.0)
+    assert fp.finished
+    # JSON round trip uses the reference schema (control.rs:383-405)
+    s = fp.to_json()
+    assert "position_x" in s and "target_z" in s
+    fp2 = FlyPathControl.from_json(s)
+    assert len(fp2.keyframes) == 3
+    assert np.allclose(fp2.keyframes[1].position, [10, 0, 0])
+
+
+def test_engine_sync_frame_renders():
+    eng = _small_engine(synchronous=True)
+    img = None
+    for _ in range(5):
+        img = eng.frame()
+        if img is not None:
+            break
+    assert img is not None
+    assert img.shape == (64, 64, 4)
+    assert img[..., 3].max() > 0.1
+
+
+def test_engine_async_builder_pairs_ids():
+    eng = _small_engine(synchronous=False)
+    try:
+        ok = eng.wait_ready(timeout_s=120)
+        assert ok
+        assert eng.cur_scene.scene_id == eng.cur_sort.scene_id
+        img = eng.frame()
+        assert img is not None and img.shape == (64, 64, 4)
+        # move far enough to trigger a rebuild
+        eng.camera.translate([5.0, 0.0, 0.0])
+        for _ in range(200):
+            eng.frame(readback=False)
+            if eng.build_time_ma.calc()[0] > 0:
+                break
+        assert len(eng.build_time_ma) >= 1
+    finally:
+        eng.shutdown()
+
+
+def test_engine_benchmark_and_format():
+    eng = _small_engine(synchronous=True)
+    fp = FlyPathControl()
+    fp.keyframes = [
+        FlyPathFrame(0.0, np.array([0, 0, 5], np.float32), np.array([0, 1, 5], np.float32)),
+        FlyPathFrame(0.3, np.array([2, 0, 5], np.float32), np.array([2, 1, 5], np.float32)),
+    ]
+    r = eng.run_benchmark(fp)
+    assert r["frames"] > 0
+    assert r["fps"] > 0
+    out = Engine.format_benchmark(r)
+    assert "\\pm" in out
+
+
+def test_engine_checkpoint_roundtrip(tmp_path):
+    eng = _small_engine(synchronous=True)
+    eng.frame()
+    eng.camera.translate([1.0, 2.0, 0.0])
+    p = tmp_path / "ckpt.json"
+    eng.save_checkpoint(p)
+    eng2 = _small_engine(synchronous=True)
+    eng2.load_checkpoint(p)
+    assert np.allclose(eng2.camera.position, eng.camera.position)
+    assert eng2.config_user_data is not None
+    img = eng2.frame()
+    assert img is not None
