@@ -133,19 +133,26 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int):
     rank = ei - e_offs[t_of_e]
     entry_tile = jnp.where(live, t_of_e, n_tiles - 1).astype(jnp.int32)
     entry_chunk = jnp.where(live, c0[t_of_e] + rank, 0).astype(jnp.int32)
-    entry_start = jnp.where(live, range_start[t_of_e], 0).astype(jnp.int32)
-    entry_end = jnp.where(live, range_end[t_of_e], 0).astype(jnp.int32)
-    entry_first = (live & (rank == 0)).astype(jnp.int32)
-    entry_last = (live & (rank == n_entries_tile[t_of_e] - 1)).astype(jnp.int32)
+    entry_first = live & (rank == 0)
+    entry_last = live & (rank == n_entries_tile[t_of_e] - 1)
+    # pack (tile | first | last) into one i32 prefetch array: SMEM holds at
+    # most ~1 MB of scalar-prefetch data, so the worklist is 2 per-entry
+    # arrays + 2 per-tile range arrays
+    entry_tf = (
+        entry_tile
+        | (entry_first.astype(jnp.int32) << 24)
+        | (entry_last.astype(jnp.int32) << 25)
+    )
+    # dead entries: mask everything via empty range (start == end == 0)
+    r_start = jnp.where(length > 0, range_start, 0).astype(jnp.int32)
+    r_end = jnp.where(length > 0, range_end, 0).astype(jnp.int32)
 
     return dict(
         table=table,
-        entry_tile=entry_tile,
+        entry_tf=entry_tf,
         entry_chunk=entry_chunk,
-        entry_start=entry_start,
-        entry_end=entry_end,
-        entry_first=entry_first,
-        entry_last=entry_last,
+        range_start=r_start,
+        range_end=r_end,
         n_pairs=total,
         overflow=overflow,
         grid_info=(ntx, nty),

@@ -519,8 +519,11 @@ def assemble_and_project(stream_packed, stream_map, stream_draw, draw,
     k4 = 2.0 * q_b * cx_px + 2.0 * q_c * cy_px
     k5 = -(q_a * cx_px * cx_px + 2.0 * q_b * cx_px * cy_px + q_c * cy_px * cy_px)
 
-    ext_x = jnp.abs(mjx) + jnp.abs(mnx)
-    ext_y = jnp.abs(mjy) + jnp.abs(mny)
+    # tight pixel bbox of the coverage ellipse (the quad corners over-cover
+    # by up to sqrt(2)): o(theta) = cos(t)*maj + sin(t)*min in double-pixel
+    # units => per-axis extent sqrt(maj_c^2 + min_c^2) in pixels
+    ext_x = jnp.sqrt(mjx * mjx + mnx * mnx)
+    ext_y = jnp.sqrt(mjy * mjy + mny * mny)
 
     valid &= jnp.isfinite(cx_px) & jnp.isfinite(cy_px)
     for k in (k0, k1, k2, k3, k4, k5):

@@ -66,7 +66,7 @@ def _cumprod_inclusive(x):
 
 def _raster_kernel(
     # scalar prefetch
-    e_tile, e_chunk, e_start, e_end, e_first, e_last,
+    e_tf, e_chunk, r_start, r_end,
     # inputs
     table_ref, depth_ref,
     # outputs
@@ -76,9 +76,10 @@ def _raster_kernel(
     *, tw, th, ntx, chunk,
 ):
     g = pl.program_id(0)
-    first = e_first[g] == 1
-    last = e_last[g] == 1
-    tile = e_tile[g]
+    tf = e_tf[g]
+    tile = tf & 0xFFFFFF
+    first = ((tf >> 24) & 1) == 1
+    last = ((tf >> 25) & 1) == 1
     ty = tile // ntx
     tx = tile % ntx
     p_n = th * tw
@@ -109,7 +110,7 @@ def _raster_kernel(
         slot = e_chunk[g] * chunk + jax.lax.broadcasted_iota(
             jnp.int32, (chunk, 1), 0
         )
-        in_run = (slot >= e_start[g]) & (slot < e_end[g])
+        in_run = (slot >= r_start[tile]) & (slot < r_end[tile])
         gmat = jnp.exp(expnt) * alpha
         mask = in_run & (expnt >= CUTOFF) & (z < depth)
         gmat = jnp.where(mask, gmat, 0.0)
@@ -150,27 +151,27 @@ def rasterize_pallas(binned, depth_tiles, *, image_wh, tile_wh, chunk: int,
     nty = -(-h_img // th)
     n_tiles = ntx * nty
     p_n = th * tw
-    ne = binned["entry_tile"].shape[0]
+    ne = binned["entry_tf"].shape[0]
 
     kernel = functools.partial(_raster_kernel, tw=tw, th=th, ntx=ntx, chunk=chunk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=4,
         grid=(ne,),
         in_specs=[
             pl.BlockSpec(
                 (16, chunk),
-                lambda g, et, ec, es, ee, ef, el: (0, ec[g]),
+                lambda g, etf, ec, rs, re: (0, ec[g]),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 1, p_n),
-                lambda g, et, ec, es, ee, ef, el: (et[g], 0, 0),
+                lambda g, etf, ec, rs, re: (etf[g] & 0xFFFFFF, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (1, 4, p_n),
-            lambda g, et, ec, es, ee, ef, el: (et[g], 0, 0),
+            lambda g, etf, ec, rs, re: (etf[g] & 0xFFFFFF, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -184,12 +185,10 @@ def rasterize_pallas(binned, depth_tiles, *, image_wh, tile_wh, chunk: int,
         grid_spec=grid_spec,
         interpret=interpret,
     )(
-        binned["entry_tile"],
+        binned["entry_tf"],
         binned["entry_chunk"],
-        binned["entry_start"],
-        binned["entry_end"],
-        binned["entry_first"],
-        binned["entry_last"],
+        binned["range_start"],
+        binned["range_end"],
         binned["table"],
         depth_tiles,
     )
@@ -229,20 +228,20 @@ def rasterize_reference(binned_np, depth_tiles_np, *, image_wh, tile_wh, chunk):
     n_tiles = ntx * nty
     p_n = th * tw
     table = np.asarray(binned_np["table"])
-    et = np.asarray(binned_np["entry_tile"])
+    etf = np.asarray(binned_np["entry_tf"])
     ec = np.asarray(binned_np["entry_chunk"])
-    es = np.asarray(binned_np["entry_start"])
-    ee = np.asarray(binned_np["entry_end"])
-    ef = np.asarray(binned_np["entry_first"])
-    el = np.asarray(binned_np["entry_last"])
+    rs = np.asarray(binned_np["range_start"])
+    re_ = np.asarray(binned_np["range_end"])
     depth = np.asarray(depth_tiles_np)
     out = np.zeros((n_tiles, 4, p_n), np.float32)
     acc = np.zeros((4, p_n), np.float32)
     tcar = np.ones((1, p_n), np.float32)
-    for g in range(et.shape[0]):
-        tile = int(et[g])
+    for g in range(etf.shape[0]):
+        tile = int(etf[g]) & 0xFFFFFF
+        ef = (int(etf[g]) >> 24) & 1
+        el = (int(etf[g]) >> 25) & 1
         tyx = (tile // ntx, tile % ntx)
-        if ef[g]:
+        if ef:
             acc[:] = 0.0
             tcar[:] = 1.0
         if tcar.max() >= MIN_T:
@@ -259,7 +258,7 @@ def rasterize_reference(binned_np, depth_tiles_np, *, image_wh, tile_wh, chunk):
             z = blk[6, :][:, None]
             alpha = blk[11, :][:, None]
             slot = ec[g] * chunk + np.arange(chunk)[:, None]
-            in_run = (slot >= es[g]) & (slot < ee[g])
+            in_run = (slot >= rs[tile]) & (slot < re_[tile])
             g_m = np.exp(expnt) * alpha
             mask = in_run & (expnt >= CUTOFF) & (z < depth[tile][None, :])
             g_m = np.where(mask, g_m, 0.0)
@@ -269,6 +268,6 @@ def rasterize_reference(binned_np, depth_tiles_np, *, image_wh, tile_wh, chunk):
             rgb1 = np.concatenate([blk[8:11], np.ones((1, chunk), np.float32)], axis=0)
             acc[0:4] += rgb1 @ weight
             tcar = tcar * t_incl[-1:]
-        if el[g]:
+        if el:
             out[tile] = acc
     return out

@@ -45,10 +45,15 @@ def _is_tpu():
 
 
 def _next_pow2(n, lo, hi):
+    """Smallest bucket >= n from {p, 1.5p} power-of-two ladders in [lo, hi]."""
     v = lo
-    while v < n and v < hi:
+    while v < hi:
+        if n <= v:
+            return v
+        if n <= v + v // 2:
+            return v + v // 2
         v *= 2
-    return v
+    return hi
 
 
 @dataclass
@@ -56,7 +61,7 @@ class RendererConfig:
     width: int = 1920
     height: int = 1080
     tile_w: int = 128
-    tile_h: int = 16
+    tile_h: int = 32
     chunk: int = 256
     max_draws: int = 16384
     max_stream: int = 1 << 22
@@ -390,10 +395,7 @@ class Renderer:
         else:
             want = int(hint * 1.4)
         want = max(want, c.chunk)
-        bucket = c.chunk
-        while bucket < want:
-            bucket *= 2
-        return bucket
+        return _next_pow2(want, c.chunk, 1 << 24)
 
     def stage(self, dt: DrawTable, camera: Camera | None = None,
               culling_dist: float = 1.0):
