@@ -27,6 +27,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main():
     t_start = time.time()
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
     from gswt_renderer_tpu.core import UserData
     from gswt_renderer_tpu.core.config import SurfaceType
     from gswt_renderer_tpu.engine import Engine, FlyPathControl, FlyPathFrame
@@ -59,10 +65,6 @@ def main():
     eng.configure(ud)
     assert eng.wait_ready(timeout_s=300), "engine did not produce a frame"
 
-    # warm-up / compile
-    for _ in range(3):
-        eng.frame(readback=False)
-
     # scripted fly path crossing several tiles with a turn (15 s)
     fp = FlyPathControl()
     kf = [
@@ -75,6 +77,17 @@ def main():
         fp.keyframes.append(
             FlyPathFrame(t, np.array(p, np.float32), np.array(tgt, np.float32))
         )
+
+    # warm-up: visit the path keyframes so the grow-only stream/pair buckets
+    # settle and every XLA variant compiles before the timed run
+    for t, p, tgt in kf:
+        eng.camera.set_view(
+            np.array(p, np.float32), np.array(tgt, np.float32),
+            np.array([0, 0, 1], np.float32),
+        )
+        for _ in range(4):
+            eng.frame(readback=False)
+            time.sleep(0.05)
 
     result = eng.run_benchmark(fp, readback=False)
     eng.shutdown()

@@ -244,7 +244,11 @@ class Renderer:
         else:
             merged_map = dt.stream_map_id.astype(np.int32)
 
+        # grow-only bucketing: every new bucket is a fresh XLA compile of the
+        # whole frame program, so never shrink within a session
         s_pad = _next_pow2(total, c.min_stream, c.max_stream)
+        s_pad = max(s_pad, getattr(self, "_spad_floor", 0))
+        self._spad_floor = s_pad
         packed = np.zeros(s_pad, np.int32)
         mapid = np.zeros(s_pad, np.int32)
         draw_id = np.full(s_pad, max(n - 1, 0), np.int32)
@@ -460,7 +464,10 @@ class Renderer:
                 lod_enable, jnp.float32(rc.culling_dist), self.hm4, sky, prox,
             )
             self.last_aux = jax.device_get(aux)
-            self._pairs_hint = max(int(self.last_aux["n_pairs"]), 1)
+            # grow-only hint: shrinking would flip buckets and recompile
+            self._pairs_hint = max(
+                int(self.last_aux["n_pairs"]), getattr(self, "_pairs_hint", 1) or 1
+            )
             if not bool(self.last_aux["overflow"]):
                 break
             # overflow: grow the hint and re-render for a complete frame

@@ -1,0 +1,138 @@
+"""Skybox / proxy passes + viewer utilities."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from gswt_renderer_tpu.core import Camera
+from gswt_renderer_tpu.core.camera import CameraUniforms
+from gswt_renderer_tpu.ops.project import pack_tex4
+from gswt_renderer_tpu.ops.proxy import render_proxy
+from gswt_renderer_tpu.ops.skybox import pixel_rays, render_skybox
+from gswt_renderer_tpu.render.pipeline import Renderer
+from gswt_renderer_tpu.viewer.headless import write_png
+
+
+def _cam_dict(cam):
+    return Renderer.cam_dict(CameraUniforms(cam))
+
+
+def test_pixel_rays_directions():
+    cam = Camera((64, 64), (0, 0, 0), (0, 1, 0), (0, 0, 1),
+                 np.deg2rad(90.0), 0.1, 100.0)
+    rays = np.asarray(pixel_rays(_cam_dict(cam), (64, 64)))
+    # center pixel looks along +y (the camera forward direction)
+    c = rays[32, 32] / np.linalg.norm(rays[32, 32])
+    assert np.allclose(c, [0, 1, 0], atol=0.05)
+    # left edge of a 90deg fov bends ~45deg in x
+    l = rays[32, 0] / np.linalg.norm(rays[32, 0])
+    assert l[0] < -0.5
+
+
+def test_skybox_equirect_tonemap_and_updown():
+    # equirect: top half blue, bottom half green
+    tex = np.zeros((64, 128, 3), np.float32)
+    tex[:32] = [0.0, 0.0, 5.0]
+    tex[32:] = [0.0, 5.0, 0.0]
+    cam_up = Camera((32, 32), (0, 0, 0), (0, 0, 1), (0, 1, 0),
+                    np.deg2rad(60.0), 0.1, 100.0)
+    img = np.asarray(render_skybox(_cam_dict(cam_up), (32, 32), jnp.asarray(tex),
+                                   equirect=True))
+    # looking straight up (world +z) samples equirect 'up' (dir.y>0 after the
+    # (x,-z,y) remap ... sample v>0.5 -> bottom half is +lat) — just check a
+    # single dominant channel and tonemapping < 1
+    assert img.shape == (32, 32, 4)
+    dom = img[16, 16, :3]
+    assert dom.max() > 0.5 and dom.max() < 1.0  # Reinhard+gamma applied
+    assert np.isclose(img[..., 3].max(), 1.0)
+
+    cam_down = Camera((32, 32), (0, 0, 0), (0, 0, -1), (0, 1, 0),
+                      np.deg2rad(60.0), 0.1, 100.0)
+    img2 = np.asarray(render_skybox(_cam_dict(cam_down), (32, 32),
+                                    jnp.asarray(tex), equirect=True))
+    # opposite vertical direction picks the other color band
+    assert np.argmax(img[16, 16, :3]) != np.argmax(img2[16, 16, :3])
+
+
+def test_skybox_cubemap_faces():
+    faces = np.zeros((6, 8, 8, 3), np.float32)
+    for i in range(6):
+        faces[i, :, :, i % 3] = (i + 1) / 6.0
+    cam = Camera((16, 16), (0, 0, 0), (1, 0, 0), (0, 0, 1),
+                 np.deg2rad(60.0), 0.1, 100.0)
+    img = np.asarray(render_skybox(_cam_dict(cam), (16, 16), jnp.asarray(faces),
+                                   equirect=False))
+    assert img.shape == (16, 16, 4)
+    assert img[..., :3].max() > 0.05
+
+
+def test_proxy_flat_plane_depth():
+    """height_offset plane with no height map: ray/plane intersection."""
+    scene = dict(
+        map_half_wh=jnp.asarray([2, 2], jnp.int32),
+        tile_width=jnp.float32(4.0),
+        height_map_scale=jnp.asarray([1.0, 1.0, 0.0], jnp.float32),
+        center_coord=jnp.asarray([0, 0], jnp.int32),
+        sphere_radius=jnp.float32(0.0),
+    )
+    cam = Camera((32, 32), (0, 0, 5), (0, 10, 0), (0, 0, 1),
+                 np.deg2rad(60.0), 0.1, 100.0)
+    hm4 = jnp.zeros((4, 1), jnp.float32)
+    tex = jnp.ones((8, 8, 3), jnp.float32) * 0.5
+    color, depth, hit = render_proxy(
+        _cam_dict(cam), scene, (32, 32), hm4, (1, 1), tex, (8, 8),
+        surface_type=0, height_offset=0.0, brightness=1.0,
+        black_background=False, use_clip=False, clip_height=0.0,
+        n_steps=64, max_dist=200.0,
+    )
+    hit = np.asarray(hit)
+    depth = np.asarray(depth)
+    color = np.asarray(color)
+    # lower half of the image (looking slightly down) hits the ground
+    assert hit[24:, :].mean() > 0.9
+    assert not hit[:3, :].any()  # sky region misses
+    # nearer rows (bottom of image) have smaller depth
+    assert depth[31, 16] < depth[20, 16]
+    assert np.allclose(color[31, 16, :3], 0.5, atol=0.1)
+
+
+def test_proxy_depth_occludes_splats():
+    """The GS rasterizer depth-tests against the proxy depth (Less, no
+    write): a splat behind the proxy surface must vanish."""
+    from gswt_renderer_tpu.ops import raster
+
+    # one chunk, one splat at z=0.9; proxy depth 0.5 at every pixel
+    chunk = 128
+    table = np.zeros((16, chunk), np.float32)
+    table[0:3, 0] = 0.0  # k0..k2
+    table[5, 0] = 0.0    # k5: exponent 0 everywhere -> full coverage
+    table[6, 0] = 0.9    # z
+    table[8, 0] = 1.0    # r
+    table[11, 0] = 0.8   # alpha
+    table[5, 1:] = -1e30
+    binned = dict(
+        table=jnp.asarray(table),
+        entry_tf=jnp.asarray([0 | (1 << 24) | (1 << 25)], jnp.int32),
+        entry_chunk=jnp.asarray([0], jnp.int32),
+        range_start=jnp.asarray([0], jnp.int32),
+        range_end=jnp.asarray([1], jnp.int32),
+    )
+    p_n = 32 * 128
+    for d, expect_visible in ((1.0, True), (0.5, False)):
+        depth_tiles = jnp.full((1, p_n), d, jnp.float32)
+        out = raster.rasterize_pallas(
+            binned, depth_tiles, image_wh=(128, 32), tile_wh=(128, 32),
+            chunk=chunk, interpret=True,
+        )
+        alpha = float(np.asarray(out)[0, 3].max())
+        assert (alpha > 0.5) == expect_visible
+
+
+def test_write_png_roundtrip(tmp_path):
+    img = np.random.default_rng(0).uniform(0, 1, (16, 16, 3)).astype(np.float32)
+    p = write_png(tmp_path / "x.png", img)
+    data = open(p, "rb").read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    assert len(data) > 100
