@@ -58,6 +58,10 @@ def _load():
     lib.gswt_assemble_stream.argtypes = [
         i32p, i32p, i32p, i64p, i64p, i64p, ctypes.c_int64, i32p, i32p, i32p
     ]
+    lib.gswt_toposort.argtypes = [
+        i32p, i32p, ctypes.c_int64, i32p, ctypes.c_int64, ctypes.c_int32, i32p
+    ]
+    lib.gswt_toposort.restype = ctypes.c_int64
     _lib = lib
     HAVE_NATIVE = True
 
@@ -193,6 +197,25 @@ def assemble_stream(preload_packed, merged_packed, merged_map, preload_off,
             out_map[pos : pos + cnt] = 0
         out_draw[pos : pos + cnt] = i
         pos += cnt
+
+
+def toposort(edge_a, edge_b, nodes, max_index):
+    """Kahn toposort with lowest-index cycle removal; returns the FINAL
+    painter order (reversed, cycle victims first), only nodes with edges
+    (wangtile.rs:1115-1218 semantics). Returns None without the C++ lib
+    (caller falls back to the Python implementation)."""
+    if not HAVE_NATIVE:
+        return None
+    ea = np.ascontiguousarray(edge_a, np.int32)
+    eb = np.ascontiguousarray(edge_b, np.int32)
+    nd = np.ascontiguousarray(nodes, np.int32)
+    out = np.empty(len(nd), np.int32)
+    n_out = _lib.gswt_toposort(
+        _ptr(ea, ctypes.c_int32), _ptr(eb, ctypes.c_int32), len(ea),
+        _ptr(nd, ctypes.c_int32), len(nd), np.int32(max_index),
+        _ptr(out, ctypes.c_int32),
+    )
+    return out[:n_out]
 
 
 def lookup_u32(table, seg_id):

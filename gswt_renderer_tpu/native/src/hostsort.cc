@@ -15,6 +15,7 @@
 #include <cstring>
 #include <cmath>
 #include <vector>
+#include <algorithm>
 
 namespace {
 
@@ -186,6 +187,106 @@ void gswt_assemble_stream(const int32_t* preload_packed,
     }
     pos += cnt;
   }
+}
+
+// Painter's-order toposort (wangtile.rs:1115-1218): Kahn over the tile DAG
+// with deterministic cycle removal (lowest-index remaining node). Emits, in
+// FINAL order (already reversed, back-to-front): removed cycle nodes first,
+// then the reversed topological order of nodes that have at least one edge.
+// edge_a/edge_b: directed edges a->b (deduplicated or not; duplicates are
+// handled). nodes: the active node ids. Returns number of entries in out.
+int64_t gswt_toposort(const int32_t* edge_a, const int32_t* edge_b,
+                      int64_t n_edges, const int32_t* nodes, int64_t n_nodes,
+                      int32_t max_index, int32_t* out) {
+  std::vector<int32_t> node_pos(max_index + 1, -1);
+  for (int64_t i = 0; i < n_nodes; ++i) node_pos[nodes[i]] = (int32_t)i;
+
+  // dedupe edges with a hash-free pass: CSR by source, then unique per row
+  std::vector<int32_t> out_deg(n_nodes, 0);
+  std::vector<int64_t> keep_edge;
+  keep_edge.reserve(n_edges);
+  {
+    // mark duplicates via sort of (a,b)
+    std::vector<int64_t> idx(n_edges);
+    for (int64_t i = 0; i < n_edges; ++i) idx[i] = i;
+    std::sort(idx.begin(), idx.end(), [&](int64_t x, int64_t y) {
+      if (edge_a[x] != edge_a[y]) return edge_a[x] < edge_a[y];
+      return edge_b[x] < edge_b[y];
+    });
+    for (int64_t k = 0; k < n_edges; ++k) {
+      int64_t i = idx[k];
+      if (k > 0) {
+        int64_t p = idx[k - 1];
+        if (edge_a[p] == edge_a[i] && edge_b[p] == edge_b[i]) continue;
+      }
+      keep_edge.push_back(i);
+    }
+  }
+  std::vector<int32_t> indeg(n_nodes, 0);
+  std::vector<bool> has_edge(n_nodes, false);
+  for (int64_t e : keep_edge) {
+    int32_t pa = node_pos[edge_a[e]];
+    int32_t pb = node_pos[edge_b[e]];
+    if (pa < 0 || pb < 0) continue;
+    out_deg[pa]++;
+    indeg[pb]++;
+    has_edge[pa] = has_edge[pb] = true;
+  }
+  std::vector<int64_t> row(n_nodes + 1, 0);
+  for (int64_t i = 0; i < n_nodes; ++i) row[i + 1] = row[i] + out_deg[i];
+  std::vector<int32_t> adj(keep_edge.size());
+  std::vector<int64_t> fill(row.begin(), row.end() - 1);
+  for (int64_t e : keep_edge) {
+    int32_t pa = node_pos[edge_a[e]];
+    int32_t pb = node_pos[edge_b[e]];
+    if (pa < 0 || pb < 0) continue;
+    adj[fill[pa]++] = pb;
+  }
+
+  std::vector<char> alive(n_nodes, 1);
+  std::vector<int32_t> order;
+  order.reserve(n_nodes);
+  std::vector<int32_t> removed;
+  std::vector<int32_t> queue;
+  queue.reserve(n_nodes);
+  for (int64_t i = 0; i < n_nodes; ++i)
+    if (indeg[i] == 0) queue.push_back((int32_t)i);
+  size_t qh = 0;
+  int64_t emitted = 0;
+  int64_t scan_from = 0;
+  while (emitted < n_nodes) {
+    while (qh < queue.size()) {
+      int32_t u = queue[qh++];
+      if (!alive[u]) continue;
+      alive[u] = 0;
+      ++emitted;
+      order.push_back(u);
+      for (int64_t k = row[u]; k < row[u + 1]; ++k) {
+        int32_t v = adj[k];
+        if (alive[v] && --indeg[v] == 0) queue.push_back(v);
+      }
+    }
+    if (emitted < n_nodes) {
+      // cycle: remove the lowest-index remaining node
+      while (scan_from < n_nodes && !alive[scan_from]) ++scan_from;
+      int32_t victim = (int32_t)scan_from;
+      alive[victim] = 0;
+      ++emitted;
+      removed.push_back(victim);
+      for (int64_t k = row[victim]; k < row[victim + 1]; ++k) {
+        int32_t v = adj[k];
+        if (alive[v] && --indeg[v] == 0) queue.push_back(v);
+      }
+    }
+  }
+  // final order: removed (in removal order, reversed among themselves by the
+  // global reverse) then reversed topo order of edged nodes
+  int64_t n_out = 0;
+  for (int64_t i = (int64_t)removed.size() - 1; i >= 0; --i)
+    out[n_out++] = nodes[removed[i]];
+  for (int64_t i = (int64_t)order.size() - 1; i >= 0; --i)
+    if (has_edge[order[i]]) out[n_out++] = nodes[order[i]];
+  return n_out;
 }
 
 }  // extern "C"

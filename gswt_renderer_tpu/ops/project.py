@@ -243,10 +243,18 @@ def build_uniform_table(draw, keep):
         | (keep.astype(jnp.int32) << 28)
     )
     bits2 = map_index | (single_lod << 22)
-    return jnp.stack([bits1, bits2], axis=0)
+    return jnp.stack(
+        [
+            bits1,
+            bits2,
+            draw["stream_start"].astype(jnp.int32),
+            draw["stream_count"].astype(jnp.int32),
+        ],
+        axis=0,
+    )
 
 
-def assemble_and_project(stream_packed, stream_map, stream_draw, draw,
+def assemble_and_project(stream_packed, merged_map_tail, draw,
                          keep_draw, store_packed, scene, cam,
                          hm4, hm_wh, *, surface_type: int,
                          draw_mode: int, image_wh,
@@ -255,27 +263,44 @@ def assemble_and_project(stream_packed, stream_map, stream_draw, draw,
 
     stream_packed: [S] i32 (gs_index | lod<<26), host-assembled per sort by
     concatenating the resident presort tables / merged streams in reversed
-    draw order (so it is front-to-back); stream_map: [S] i32 map ids (only
-    meaningful for merged draws); stream_draw: [S] i32 draw ids; padding
-    entries carry draw id = D-1 with keep false.
+    draw order (so it is front-to-back). Draw ids are recomputed on device
+    from draw["starts_rev"] (reversed-order prefix sums) — the stream order
+    is draw D-1-slot, so no draw-id upload. merged_map_tail: [M] i32 map ids
+    of the merged streams (small per-sort upload); per-splat map ids gather
+    from it via the draw's stream_start/count.
     store_packed: [10, N] f32 (pos xyz, cov 6, rgba bitcast u32).
     Returns dict: valid [S], cx/cy/z [S], k (6 comps), color (4 comps),
     ext_x/ext_y [S].
     """
     s = stream_packed.shape[0]
-    i = jnp.arange(s, dtype=jnp.int32)
+    # global stream index (stream_offset supports stream-parallel sharding)
+    i = jnp.arange(s, dtype=jnp.int32) + draw["stream_offset"].astype(jnp.int32)
     in_range = i < draw["total_splats"].astype(jnp.int32)
     packed = stream_packed
-    mid = stream_map
-    d = stream_draw
     gs = packed & ((1 << GS_BITS) - 1)
     lod_id = (packed >> GS_BITS) & 0xF
 
-    # per-draw uniforms: ONE 2-component gather
+    # device-side draw-id: stream slot k holds draw (n_draws-1-k)
+    starts_rev = draw["starts_rev"]  # [D+1] prefix sums in stream order
+    slot = jnp.searchsorted(starts_rev, i, side="right").astype(jnp.int32) - 1
+    slot = jnp.clip(slot, 0, starts_rev.shape[0] - 2)
+    d = jnp.clip(draw["n_draws"].astype(jnp.int32) - 1 - slot, 0, None)
+    j_in = i - starts_rev[slot]
+
+    # per-draw uniforms: ONE 4-component gather
     utab = build_uniform_table(draw, keep_draw)
     u = utab[:, d]
     bits1 = u[0]
     bits2 = u[1]
+    ss_d = u[2]
+    cnt_d = u[3]
+    # merged map ids: within-draw order was reversed at assembly
+    merged_d = ss_d >= 0
+    m_idx = jnp.clip(
+        jnp.where(merged_d, ss_d + cnt_d - 1 - j_in, 0),
+        0, merged_map_tail.shape[0] - 1,
+    )
+    mid = jnp.where(merged_d, merged_map_tail[m_idx], 0)
     bc = jax.lax.bitcast_convert_type
     single = bits1 & 1
     changing = (bits1 >> 1) & 1

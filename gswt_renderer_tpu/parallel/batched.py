@@ -135,17 +135,14 @@ def render_stream_sharded(renderer, staged, scene_params, cam_dict, mesh,
     prox = jnp.zeros((1, 1, 3))
     culld = jnp.float32(rc.culling_dist)
 
-    def per_device(packed, mapid, draw_id):
-        # local segment: adjust total_splats to the local slice
+    def per_device(packed):
+        # local segment: shift the global stream offset per shard
         idx = jax.lax.axis_index("sp")
-        start = idx * seg
-        total = draw["total_splats"].astype(jnp.int32)
-        local_total = jnp.clip(total - start, 0, seg)
         local_draw = dict(draw)
-        local_draw["total_splats"] = local_total
+        local_draw["stream_offset"] = idx * seg
         img, _ = frame(
             renderer.store_packed,
-            dict(packed=packed[0], map=mapid[0], draw_id=draw_id[0]),
+            dict(packed=packed[0], map_tail=stream["map_tail"]),
             local_draw, sp_scene, cam_dict, lod_enable, culld,
             renderer.hm4, sky, prox,
         )
@@ -161,11 +158,9 @@ def render_stream_sharded(renderer, staged, scene_params, cam_dict, mesh,
     shard = jax.shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(P("sp"), P("sp"), P("sp")),
+        in_specs=(P("sp"),),
         out_specs=P(),
         check_vma=False,
     )
     packed = stream["packed"].reshape(n_sp, seg)
-    mapid = stream["map"].reshape(n_sp, seg)
-    draw_id = stream["draw_id"].reshape(n_sp, seg)
-    return shard(packed, mapid, draw_id)
+    return shard(packed)

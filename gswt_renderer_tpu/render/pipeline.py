@@ -250,18 +250,22 @@ class Renderer:
         s_pad = max(s_pad, getattr(self, "_spad_floor", 0))
         self._spad_floor = s_pad
         packed = np.zeros(s_pad, np.int32)
-        mapid = np.zeros(s_pad, np.int32)
-        draw_id = np.full(s_pad, max(n - 1, 0), np.int32)
+        mapid = np.zeros(s_pad, np.int32)  # host-side only (not uploaded)
+        draw_id = np.zeros(s_pad, np.int32)  # host-side only
         native.assemble_stream(
             self.preload_packed_host, merged_packed, merged_map, preload_off,
             dt.stream_start[:n].astype(np.int64), counts,
             packed, mapid, draw_id,
         )
-        if total < s_pad:
-            draw_id[total:] = max(n - 1, 0)
-        return packed, mapid, draw_id, total, n
+        # reversed-order prefix sums for device-side draw-id recovery
+        starts_rev = np.zeros(c.max_draws + 1, np.int64)
+        if n > 0:
+            starts_rev[1 : n + 1] = np.cumsum(counts[::-1])
+        starts_rev[n + 1 :] = starts_rev[n]
+        return packed, merged_map, starts_rev, counts, total, n
 
-    def prepare_draws(self, dt: DrawTable, n: int, total: int):
+    def prepare_draws(self, dt: DrawTable, n: int, total: int, starts_rev,
+                      counts):
         """Pad per-draw uniform arrays to MAX_DRAWS (host-side)."""
         c = self.cfg
 
@@ -275,6 +279,10 @@ class Renderer:
         return dict(
             n_draws=np.int32(n),
             total_splats=np.int32(total),
+            stream_offset=np.int32(0),
+            starts_rev=starts_rev.astype(np.int32),
+            stream_start=pad_i(dt.stream_start, -1),
+            stream_count=pad_i(counts),
             single_draw=pad_i(dt.single_draw),
             single_lod_id=pad_i(dt.single_lod_id, -1),
             single_valid_lod=pad_i(dt.valid_lod_id, -1),
@@ -333,7 +341,7 @@ class Renderer:
 
             keep = project.cull_draws(draw, cam, culling_dist, lod_enable)
             p = project.assemble_and_project(
-                stream["packed"], stream["map"], stream["draw_id"], draw,
+                stream["packed"], stream["map_tail"], draw,
                 keep, store_packed, scene, cam, hm4, self.height_map_wh,
                 surface_type=surface_type, draw_mode=draw_mode,
                 image_wh=image_wh, point_cloud=point_cloud,
@@ -406,15 +414,22 @@ class Renderer:
         """Per-SORT staging: assemble + upload the stream and draw tables.
         The result is reused across frames until the next SortData. With a
         camera, host-culls draws (coarse, margined) before upload."""
+        c = self.cfg
         vp = camera.view_proj() if camera is not None else None
-        packed, mapid, draw_id, total, n = self.assemble_stream_host(
-            dt, vp, culling_dist
+        packed, merged_map, starts_rev, counts, total, n = (
+            self.assemble_stream_host(dt, vp, culling_dist)
         )
-        draw_np = self.prepare_draws(dt, n, total)
+        draw_np = self.prepare_draws(dt, n, total, starts_rev, counts)
+        # merged tail: small per-sort upload, grow-only bucket
+        m_pad = _next_pow2(len(merged_map), 1 << 12, c.max_stream)
+        m_pad = max(m_pad, getattr(self, "_mpad_floor", 0))
+        self._mpad_floor = m_pad
+        tail = np.zeros(m_pad, np.int32)
+        k = min(len(merged_map), m_pad)
+        tail[:k] = merged_map[:k]
         stream = dict(
             packed=jnp.asarray(packed),
-            map=jnp.asarray(mapid),
-            draw_id=jnp.asarray(draw_id),
+            map_tail=jnp.asarray(tail),
         )
         draw = {k: jnp.asarray(v) for k, v in draw_np.items()}
         return dict(stream=stream, draw=draw, s_pad=packed.shape[0])

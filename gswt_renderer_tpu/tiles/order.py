@@ -108,7 +108,14 @@ def sort_tiles_graph(eng, camera_pos):
     mask = a != b
     a, b = a[mask], b[mask]
 
-    nodes = set(np.where(_active_mask(eng))[0].tolist())
+    active = np.where(_active_mask(eng))[0]
+    from .. import native
+
+    result = native.toposort(a, b, active, int(w * h))
+    if result is not None:
+        return result.tolist()
+
+    nodes = set(active.tolist())
     succ = {n: set() for n in nodes}
     pred = {n: set() for n in nodes}
     has_edge = set()
