@@ -129,8 +129,10 @@ class Engine:
         self.fly_path = FlyPathControl()
         self.camera_control = "keyboard"  # or "flypath"
         self.lockon_center = False
-        self.lock_tile = False
-        self.lock_sort = False
+        self.lock_tile = False      # freeze the builder's tile map (gui lock)
+        self.lock_sort = False      # freeze sorting (structure.rs:247-248)
+        self.freeze_frame = False   # frozen-frame stepping (state.rs:378-382)
+        self.step_frame = False
         self.synchronous = synchronous
 
         self.wang = WangTileEngine(scene_vec)
@@ -277,6 +279,9 @@ class Engine:
         self._pump_builder(update_worker and moved)
         if self.cur_scene is None or self.cur_sort is None:
             return None
+        if self.freeze_frame and not self.step_frame:
+            return self.last_image
+        self.step_frame = False
 
         if self._staged_id is not id(self.cur_sort):
             self._staged = self.renderer.stage(

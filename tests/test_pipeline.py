@@ -95,6 +95,34 @@ def test_parity_heightmap_surface(engine):
     _assert_close(ref, img)
 
 
+def test_parity_sphere_surface():
+    sv = synthetic_scene_vec(n_lod=2, splats_per_tile=64)
+    engine = WangTileEngine(sv)
+    ud = _setup(
+        engine,
+        tile_map_half_wh=(5, 2),
+        surface_type=SurfaceType.SPHERE,
+        sphere_radius=15.0,
+        lod_max_dist=30.0,
+    )
+    cam_pos = np.array([30.0, 0.0, 8.0], np.float32)
+    engine.build_tiles(cam_pos)
+    camera = Camera((W, H), cam_pos, (0.0, 0.0, 0.0), (0.0, 0.0, 1.0),
+                    np.deg2rad(60.0), 0.1, 200.0)
+    dt = engine.sort_tiles(cam_pos, camera.view_proj())
+    rc = RenderConfig.new(engine.n_tiles[0])
+    fi = build_frame_inputs(engine, dt, camera, rc)
+    ref = render_oracle(fi, W, H)
+    assert ref[..., 3].max() > 0.2, "sphere scene should be visible"
+    r = Renderer(engine, RendererConfig(width=W, height=H, max_draws=128,
+                                        max_stream=1 << 15, min_stream=1 << 12,
+                                        chunk=128))
+    r.configure(ud)
+    sp = SceneParams.from_data(ud, engine.center_coord, rc)
+    img = r.render(dt, camera, sp, rc)
+    _assert_close(ref, img)
+
+
 def test_parity_lod_blending(engine):
     ud = _setup(
         engine,
