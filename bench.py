@@ -78,16 +78,17 @@ def main():
             FlyPathFrame(t, np.array(p, np.float32), np.array(tgt, np.float32))
         )
 
-    # warm-up: visit the path keyframes so the grow-only stream/pair buckets
-    # settle and every XLA variant compiles before the timed run
-    for t, p, tgt in kf:
-        eng.camera.set_view(
-            np.array(p, np.float32), np.array(tgt, np.float32),
-            np.array([0, 0, 1], np.float32),
-        )
-        for _ in range(4):
-            eng.frame(readback=False)
-            time.sleep(0.05)
+    # warm-up: walk the whole path densely so the grow-only stream/pair
+    # buckets reach their maxima and every XLA variant compiles before the
+    # timed run (a single mid-run recompile would dominate the fly-through)
+    fp.reset_path()
+    fp.start_path()
+    for t in np.arange(0.0, 15.01, 0.75):
+        fp.handle_events(eng.camera, now_ms=float(t) * 1000.0)
+        eng.frame(readback=False)
+        time.sleep(0.02)
+    fp.pause_path()
+    n_compiles_warm = len(getattr(eng.renderer, "compile_events", []))
 
     result = eng.run_benchmark(fp, readback=False)
     eng.shutdown()
@@ -102,6 +103,8 @@ def main():
         sort_trigger=round(result["sort_trigger"], 3),
         n_pairs=int(aux.get("n_pairs", 0)),
         setup_s=round(time.time() - t_start - result["wall_ms"] / 1e3, 1),
+        recompiles_in_run=len(getattr(eng.renderer, "compile_events", []))
+        - n_compiles_warm,
     )
     print(
         json.dumps(

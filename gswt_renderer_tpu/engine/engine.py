@@ -41,10 +41,13 @@ class EngineStatus(enum.Enum):
 
 
 class _Builder:
-    """The worker thread (state.rs:440-564)."""
+    """The worker thread (state.rs:440-564). Besides building/sorting it also
+    STAGES each SortData (host stream assembly + device upload) so the
+    uploads overlap the render thread's device work."""
 
-    def __init__(self, wang: WangTileEngine):
+    def __init__(self, wang: WangTileEngine, stage_fn=None):
         self.wang = wang
+        self.stage_fn = stage_fn
         self.q_user_data = queue.Queue()
         self.q_build_info = queue.Queue()
         self.q_vp = queue.Queue()
@@ -110,7 +113,10 @@ class _Builder:
                     start = get_time_milliseconds()
                     dt = self.wang.sort_tiles(cur_camera_pos, vp)
                     dt.scene_id = next_scene_id - 1
-                    self.out_sort.put(dt)
+                    staged = (
+                        self.stage_fn(dt, vp) if self.stage_fn is not None else None
+                    )
+                    self.out_sort.put((dt, staged))
                     self.out_sort_time.put(get_time_milliseconds() - start)
                 idle = False
 
@@ -166,7 +172,16 @@ class Engine:
         self.build_trigger_ma = IncrementalMA(window)
         self._frame_prev = get_time_milliseconds()
 
-        self.builder = None if synchronous else _Builder(self.wang)
+        self.builder = (
+            None
+            if synchronous
+            else _Builder(
+                self.wang,
+                stage_fn=lambda dt, vp: self.renderer.stage_vp(
+                    dt, vp, self.render_config.culling_dist
+                ),
+            )
+        )
         self.scene_params: SceneParams | None = None
         self.last_image = None
 
@@ -245,9 +260,9 @@ class Engine:
             got, sd = b._drain(b.out_scene)
             if got:
                 self.next_scene = sd
-            got, dt = b._drain(b.out_sort)
+            got, pair = b._drain(b.out_sort)
             if got:
-                self.next_sort = dt
+                self.next_sort, self._next_staged = pair
             got, cfg = b._drain(b.out_user_data)
             if got and self.status == EngineStatus.POST_CONFIG:
                 self._finish_configure(cfg)
@@ -260,6 +275,11 @@ class Engine:
         ):
             self.cur_scene = self.next_scene
             self.cur_sort = self.next_sort
+            staged = getattr(self, "_next_staged", None)
+            if staged is not None:
+                self._staged = staged
+                self._staged_id = id(self.cur_sort)
+            self._next_staged = None
             self.next_scene = None
             self.next_sort = None
 

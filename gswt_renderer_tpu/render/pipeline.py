@@ -382,6 +382,13 @@ class Renderer:
 
     def _get_jit(self, key):
         if key not in self._frame_jit:
+            import sys
+            import time as _time
+
+            self.compile_events = getattr(self, "compile_events", [])
+            self.compile_events.append((_time.time(), key[:2]))
+            print(f"[gswt] compiling frame variant s_pad={key[0]} "
+                  f"max_pairs={key[1]}", file=sys.stderr)
             (s_pad, max_pairs, surface_type, draw_mode, point_cloud,
              use_skybox, use_proxy, proxy_opts) = key
             fn = functools.partial(
@@ -414,8 +421,12 @@ class Renderer:
         """Per-SORT staging: assemble + upload the stream and draw tables.
         The result is reused across frames until the next SortData. With a
         camera, host-culls draws (coarse, margined) before upload."""
-        c = self.cfg
         vp = camera.view_proj() if camera is not None else None
+        return self.stage_vp(dt, vp, culling_dist)
+
+    def stage_vp(self, dt: DrawTable, vp=None, culling_dist: float = 1.0):
+        """stage() taking a raw view-projection matrix (builder-thread use)."""
+        c = self.cfg
         packed, merged_map, starts_rev, counts, total, n = (
             self.assemble_stream_host(dt, vp, culling_dist)
         )
