@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""BASELINE.md config suite: measure all five target configurations.
+
+1. single Wang tile, fixed camera, 512x512
+2. 4x4 procedurally tiled terrain, no merging/LOD, 800x600 fly-through
+3. infinite terrain + procedural tiling + selective merging, 1080p
+4. full paper config: LOD blending + skybox + proxy, 1080p
+5. batched 64-camera rendering (camera-parallel; on 1 chip this measures
+   per-camera throughput of the batched path)
+
+Run: python benchmarks/configs.py [--quick]
+Prints one JSON line per config.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _mk_engine(viewport, **ud_kw):
+    from gswt_renderer_tpu.core import UserData
+    from gswt_renderer_tpu.engine import Engine
+    from gswt_renderer_tpu.io.synth import synthetic_scene_vec
+    from gswt_renderer_tpu.render.pipeline import RendererConfig
+
+    sv = synthetic_scene_vec(n_lod=3, splats_per_tile=512, seed=0)
+    eng = Engine(
+        sv, viewport=viewport,
+        renderer_config=RendererConfig(width=viewport[0], height=viewport[1]),
+        synchronous=True,
+    )
+    eng.configure(UserData.from_ui(**ud_kw))
+    assert eng.wait_ready(timeout_s=600)
+    return eng
+
+
+def _time_frames(eng, moves, n_warm=3, n_iter=None):
+    import jax
+
+    n_iter = n_iter or len(moves)
+    for _ in range(n_warm):
+        img = eng.frame(readback=False)
+    t0 = time.perf_counter()
+    k = 0
+    for i in range(n_iter):
+        eng.camera.translate(moves[i % len(moves)])
+        img = eng.frame(readback=False)
+        if img is not None:
+            _ = jax.device_get(img[0, 0, 0])  # force device completion
+            k += 1
+    dt = (time.perf_counter() - t0) / max(k, 1)
+    return dt * 1000.0, k
+
+
+def emit(name, ms, extra=None):
+    print(json.dumps({
+        "config": name, "frame_ms": round(ms, 1),
+        "fps": round(1000.0 / ms, 2) if ms > 0 else 0.0,
+        **(extra or {}),
+    }))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    n = 5 if args.quick else 20
+    from gswt_renderer_tpu.core.config import (
+        SelectiveMergeType, SurfaceType, TileSortType,
+    )
+
+    moves = [np.array([0.05, 0.1, 0.0], np.float32)] * n
+
+    # config 1: single-tile-scale scene, fixed camera, 512x512
+    eng = _mk_engine(
+        (512, 512), tile_map_half_wh=(1, 1), surface_type=SurfaceType.NONE,
+        merge_type=SelectiveMergeType.NONE, tile_sort_type=TileSortType.DISTANCE,
+        lod_blending=False, lod_max_dist=8.0, height_map_scale=(1.0, 0.0),
+    )
+    ms, k = _time_frames(eng, [np.zeros(3, np.float32)] * n)
+    emit("1_single_tile_512", ms, {"frames": k})
+
+    # config 2: 4x4-ish terrain, no merging/LOD, 800x600
+    eng = _mk_engine(
+        (800, 600), tile_map_half_wh=(2, 2), surface_type=SurfaceType.NONE,
+        merge_type=SelectiveMergeType.NONE, tile_sort_type=TileSortType.DISTANCE,
+        lod_blending=False, lod_max_dist=8.0, height_map_scale=(1.0, 0.0),
+    )
+    ms, k = _time_frames(eng, moves)
+    emit("2_terrain_4x4_800x600", ms, {"frames": k})
+
+    # config 3: infinite terrain + merging, 1080p
+    eng = _mk_engine(
+        (1920, 1080), tile_map_half_wh=(48, 48),
+        surface_type=SurfaceType.HEIGHT_MAP, height_map_wh=(10, 10),
+        height_map_scale=(1.0, 0.3), lod_max_dist=96.0,
+        merge_dot_threshold=0.2, merge_topk=100,
+    )
+    ms, k = _time_frames(eng, moves)
+    emit("3_infinite_1080p", ms, {"frames": k})
+
+    # config 4: + skybox (proxy ray-march is documented-slow; measured
+    # separately to keep the headline comparable)
+    sky = np.clip(
+        np.linspace(0, 4, 64)[:, None, None]
+        * np.ones((64, 128, 3), np.float32), 0, 4)
+    eng.set_skybox(sky, equirect=True)
+    ms, k = _time_frames(eng, moves)
+    emit("4_full_with_skybox_1080p", ms, {"frames": k})
+
+    # config 5: batched cameras (camera-parallel path on the local mesh)
+    import jax
+    import jax.numpy as jnp
+
+    from gswt_renderer_tpu.core.config import RenderConfig
+    from gswt_renderer_tpu.parallel import make_mesh, render_cameras_sharded
+    from gswt_renderer_tpu.parallel.batched import pack_camera_batch
+    from gswt_renderer_tpu.render.uniforms import SceneParams
+    from gswt_renderer_tpu.core import Camera
+
+    b = 8 if args.quick else 16
+    cams = [
+        Camera((1920, 1080), np.array([i * 0.5, 0, 5], np.float32),
+               (i * 0.5, 30, 2), (0, 0, 1), np.deg2rad(45.0), 0.1, 2400.0)
+        for i in range(b)
+    ]
+    mesh = make_mesh((len(jax.devices()), 1))
+    rc = RenderConfig.new(eng.wang.n_tiles[0])
+    sp = SceneParams.from_data(eng.config_user_data, eng.wang.center_coord, rc)
+    cam_batch = pack_camera_batch(eng.renderer, sp, cams, rc)
+    staged = eng._staged or eng.renderer.stage(eng.cur_sort, eng.camera)
+    imgs = render_cameras_sharded(eng.renderer, staged, sp, cam_batch, mesh, rc)
+    _ = jax.device_get(imgs[0, 0, 0, 0])
+    t0 = time.perf_counter()
+    imgs = render_cameras_sharded(eng.renderer, staged, sp, cam_batch, mesh, rc)
+    _ = jax.device_get(imgs[-1, 0, 0, 0])
+    per_cam = (time.perf_counter() - t0) / b * 1000.0
+    emit("5_batched_cameras_1080p", per_cam,
+         {"batch": b, "devices": len(jax.devices())})
+
+
+if __name__ == "__main__":
+    main()

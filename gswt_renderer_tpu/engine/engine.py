@@ -209,6 +209,18 @@ class Engine:
         self._staged_id = None
 
     # ------------------------------------------------------------------ #
+    def set_skybox(self, tex, equirect=True):
+        """Upload a skybox (equirect HDRI [H,W,3] or faces [6,R,R,3]);
+        mirrors the GUI skybox upload (skybox.rs:703-805)."""
+        self.renderer.set_skybox(tex, equirect=equirect)
+        self.use_skybox = tex is not None
+
+    def set_proxy(self, tex):
+        """Upload the proxy ground texture (proxy.rs:447-554)."""
+        self.renderer.set_proxy(tex)
+        self.use_proxy = tex is not None
+
+    # ------------------------------------------------------------------ #
     def handle_key(self, key: str, pressed: bool):
         if self.camera_control == "keyboard":
             self.keyboard.handle_key(key, pressed)

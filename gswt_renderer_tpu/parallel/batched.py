@@ -49,25 +49,36 @@ def composite_over(front, back):
     return front + t * back
 
 
-def render_cameras_sharded(renderer, staged, scene_params, cam_dicts, mesh,
+def pack_camera_batch(renderer, scene_params, cameras, render_config=None):
+    """Stack per-camera packed uniform vectors [B, UNIFORMS_LEN]."""
+    from ..core.camera import CameraUniforms
+    from ..core.config import RenderConfig
+
+    rc = render_config or RenderConfig.new(renderer.engine.n_tiles[0])
+    lod_enable = list(rc.lod_enable or [True] * 16)
+    vecs = [
+        renderer.pack_frame_uniforms(
+            scene_params, CameraUniforms(c), lod_enable, rc.culling_dist
+        )
+        for c in cameras
+    ]
+    return jnp.asarray(np.stack(vecs))
+
+
+def render_cameras_sharded(renderer, staged, scene_params, cam_batch, mesh,
                            render_config=None):
     """Render a batch of cameras, sharded over the mesh 'dp' axis.
 
-    cam_dicts: pytree of stacked camera arrays [B, ...] (from
-    Renderer.cam_dict per camera, stacked). B must divide by mesh dp size.
-    Returns images [B, H, W, 4] sharded over dp.
+    cam_batch: [B, UNIFORMS_LEN] packed uniforms (pack_camera_batch). B must
+    divide by mesh dp size. Returns images [B, H, W, 4] sharded over dp.
     """
     from ..core.config import RenderConfig
 
     rc = render_config or RenderConfig.new(renderer.engine.n_tiles[0])
-    sp_scene = renderer.scene_dict(scene_params)
-    lod_enable = jnp.asarray(
-        [1 if b else 0 for b in (rc.lod_enable or [True] * 16)], jnp.int32
-    )
     stream = staged["stream"]
     draw = staged["draw"]
     frame = functools.partial(
-        renderer._frame,
+        renderer._frame_packed,
         surface_type=int(scene_params.surface_type),
         draw_mode=int(rc.draw_mode),
         point_cloud=bool(rc.draw_point_cloud),
@@ -77,13 +88,12 @@ def render_cameras_sharded(renderer, staged, scene_params, cam_dicts, mesh,
     )
     sky = jnp.zeros((1, 1, 3))
     prox = jnp.zeros((1, 1, 3))
-    culld = jnp.float32(rc.culling_dist)
 
     def per_device(cams_local):
         def body(carry, cam):
             img, _ = frame(
-                renderer.store_packed, stream, draw, sp_scene, cam,
-                lod_enable, culld, renderer.hm4, sky, prox,
+                renderer.store_packed, stream, draw, cam,
+                renderer.hm4, sky, prox,
             )
             return carry, img
 
@@ -97,10 +107,10 @@ def render_cameras_sharded(renderer, staged, scene_params, cam_dicts, mesh,
         out_specs=P("dp"),
         check_vma=False,
     )
-    return shard(cam_dicts)
+    return shard(cam_batch)
 
 
-def render_stream_sharded(renderer, staged, scene_params, cam_dict, mesh,
+def render_stream_sharded(renderer, staged, scene_params, camera, mesh,
                           render_config=None):
     """Render ONE camera with the splat stream sharded over the 'sp' axis.
 
@@ -108,12 +118,15 @@ def render_stream_sharded(renderer, staged, scene_params, cam_dict, mesh,
     segment; the segment images fold with the associative over-operator in
     stream order (front segment = shard 0). Returns the final [H, W, 4]
     image (replicated)."""
+    from ..core.camera import CameraUniforms
     from ..core.config import RenderConfig
 
     rc = render_config or RenderConfig.new(renderer.engine.n_tiles[0])
-    sp_scene = renderer.scene_dict(scene_params)
-    lod_enable = jnp.asarray(
-        [1 if b else 0 for b in (rc.lod_enable or [True] * 16)], jnp.int32
+    uniforms = jnp.asarray(
+        renderer.pack_frame_uniforms(
+            scene_params, CameraUniforms(camera),
+            list(rc.lod_enable or [True] * 16), rc.culling_dist,
+        )
     )
     stream = staged["stream"]
     draw = staged["draw"]
@@ -123,7 +136,7 @@ def render_stream_sharded(renderer, staged, scene_params, cam_dict, mesh,
     seg = s_pad // n_sp
 
     frame = functools.partial(
-        renderer._frame,
+        renderer._frame_packed,
         surface_type=int(scene_params.surface_type),
         draw_mode=int(rc.draw_mode),
         point_cloud=bool(rc.draw_point_cloud),
@@ -133,7 +146,6 @@ def render_stream_sharded(renderer, staged, scene_params, cam_dict, mesh,
     )
     sky = jnp.zeros((1, 1, 3))
     prox = jnp.zeros((1, 1, 3))
-    culld = jnp.float32(rc.culling_dist)
 
     def per_device(packed):
         # local segment: shift the global stream offset per shard
@@ -143,7 +155,7 @@ def render_stream_sharded(renderer, staged, scene_params, cam_dict, mesh,
         img, _ = frame(
             renderer.store_packed,
             dict(packed=packed[0], map_tail=stream["map_tail"]),
-            local_draw, sp_scene, cam_dict, lod_enable, culld,
+            local_draw, uniforms,
             renderer.hm4, sky, prox,
         )
         # fold segment images front-to-back across 'sp'

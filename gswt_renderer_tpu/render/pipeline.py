@@ -296,6 +296,70 @@ class Renderer:
             corner_pos=corner,
         )
 
+    # ------------------------------------------------------------------ #
+    # per-frame uniforms travel as ONE packed f32 vector: each separate
+    # jnp.asarray is a host->device RPC (~1-5 ms each on the dev tunnel)
+    UNIFORMS_LEN = 112
+
+    @staticmethod
+    def pack_frame_uniforms(scene: SceneParams, cam: CameraUniforms,
+                            lod_enable, culling_dist: float) -> np.ndarray:
+        v = np.zeros(Renderer.UNIFORMS_LEN, np.float32)
+        v[0:16] = cam.view.reshape(-1)
+        v[16:32] = (OPENGL_TO_WGPU @ cam.projection).reshape(-1)
+        v[32:48] = (cam.projection @ cam.view).reshape(-1)
+        v[48:50] = cam.focal
+        v[50:52] = cam.htan_fov
+        v[52:55] = cam.cam_pos
+        v[55] = scene.splat_scale
+        v[56] = scene.tile_width
+        v[57] = scene.use_clip
+        v[58] = scene.clip_height
+        v[59] = scene.sphere_radius
+        v[60] = scene.point_cloud_radius
+        v[61] = scene.transition_width_ratio
+        v[62] = scene.num_lod
+        v[63:65] = scene.map_half_wh
+        v[65:67] = scene.center_coord
+        v[67:83] = scene.transition_dist_vec
+        v[83:86] = scene.height_map_scale
+        v[86:89] = scene.scene_scale
+        le = [1.0 if b else 0.0 for b in lod_enable][:16]
+        v[89 : 89 + len(le)] = le
+        v[105] = culling_dist
+        return v
+
+    @staticmethod
+    def unpack_frame_uniforms(v):
+        """Device-side unpack into (scene_dict, cam_dict, lod_enable,
+        culling_dist)."""
+        cam = dict(
+            view=v[0:16].reshape(4, 4),
+            proj_wgpu=v[16:32].reshape(4, 4),
+            view_proj=v[32:48].reshape(4, 4),
+            focal=v[48:50],
+            htan_fov=v[50:52],
+            cam_pos=v[52:55],
+        )
+        scene = dict(
+            splat_scale=v[55],
+            tile_width=v[56],
+            use_clip=v[57].astype(jnp.int32),
+            clip_height=v[58],
+            sphere_radius=v[59],
+            point_cloud_radius=v[60],
+            transition_width_ratio=v[61],
+            num_lod=v[62].astype(jnp.int32),
+            map_half_wh=v[63:65].astype(jnp.int32),
+            center_coord=v[65:67].astype(jnp.int32),
+            transition_dist_vec=v[67:83],
+            height_map_scale=v[83:86],
+            scene_scale=v[86:89],
+        )
+        lod_enable = v[89:105].astype(jnp.int32)
+        culling_dist = v[105]
+        return scene, cam, lod_enable, culling_dist
+
     def scene_dict(self, scene: SceneParams):
         return dict(
             splat_scale=jnp.float32(scene.splat_scale),
@@ -325,6 +389,16 @@ class Renderer:
         )
 
     # ------------------------------------------------------------------ #
+    def _frame_packed(self, store_packed, stream, draw, uniforms, hm4,
+                      skybox_tex, proxy_tex, **statics):
+        scene, cam, lod_enable, culling_dist = self.unpack_frame_uniforms(
+            uniforms
+        )
+        return self._frame(
+            store_packed, stream, draw, scene, cam, lod_enable, culling_dist,
+            hm4, skybox_tex, proxy_tex, **statics,
+        )
+
     def _frame(self, store_packed, stream, draw, scene, cam,
                lod_enable, culling_dist, hm4, skybox_tex, proxy_tex, *,
                surface_type, draw_mode, point_cloud, use_skybox, use_proxy,
@@ -392,7 +466,7 @@ class Renderer:
             (s_pad, max_pairs, surface_type, draw_mode, point_cloud,
              use_skybox, use_proxy, proxy_opts) = key
             fn = functools.partial(
-                self._frame,
+                self._frame_packed,
                 surface_type=surface_type,
                 draw_mode=draw_mode,
                 point_cloud=point_cloud,
@@ -459,9 +533,7 @@ class Renderer:
         if not render_gs:
             draw = dict(draw)
             draw["total_splats"] = jnp.int32(0)
-        lod_enable = jnp.asarray(
-            [1 if b else 0 for b in (rc.lod_enable or [True] * 16)], jnp.int32
-        )
+        lod_enable = list(rc.lod_enable or [True] * 16)
         proxy_opts = (
             ("height_offset", float(rc.proxy_height)),
             ("brightness", float(rc.proxy_brightness)),
@@ -484,10 +556,13 @@ class Renderer:
                 proxy_opts,
             )
             fn = self._get_jit(key)
+            uniforms = jnp.asarray(
+                self.pack_frame_uniforms(
+                    scene, CameraUniforms(camera), lod_enable, rc.culling_dist
+                )
+            )
             img, aux = fn(
-                self.store_packed, stream, draw,
-                self.scene_dict(scene), self.cam_dict(CameraUniforms(camera)),
-                lod_enable, jnp.float32(rc.culling_dist), self.hm4, sky, prox,
+                self.store_packed, stream, draw, uniforms, self.hm4, sky, prox,
             )
             self.last_aux = jax.device_get(aux)
             # grow-only hint: shrinking would flip buckets and recompile

@@ -38,7 +38,7 @@ def _make_engine(args):
         UserData,
     )
     from ..engine import Engine
-    from ..render.pipeline import RendererConfig
+    from ..render.pipeline import RendererConfig  # noqa: F401
 
     w, h = (int(x) for x in args.size.split("x"))
     eng = Engine(
@@ -47,9 +47,23 @@ def _make_engine(args):
         renderer_config=RendererConfig(width=w, height=h),
         synchronous=args.sync,
     )
+    from ..io.textures import (
+        load_height_map,
+        load_proxy_texture,
+        load_skybox_faces,
+        load_skybox_hdri,
+    )
+
+    height_tex = None
+    if args.height_tex:
+        hm, wh = load_height_map(args.height_tex)
+        height_tex = (hm, wh)
     if args.config:
         with open(args.config) as f:
             ud = UserData.from_json(f.read())
+        if height_tex is not None:
+            ud.height_tex = height_tex
+            ud.height_map_type = HeightMapType.TEXTURE
     else:
         ud = UserData.from_ui(
             tile_map_half_wh=(args.half, args.half),
@@ -64,6 +78,15 @@ def _make_engine(args):
             merge_topk=100,
             tile_sort_type=TileSortType[args.tile_sort.upper()],
         )
+        if height_tex is not None:
+            ud.height_tex = height_tex
+            ud.height_map_type = HeightMapType.TEXTURE
+    if args.skybox_hdri:
+        eng.set_skybox(load_skybox_hdri(args.skybox_hdri), equirect=True)
+    elif args.skybox_faces:
+        eng.set_skybox(load_skybox_faces(args.skybox_faces), equirect=False)
+    if args.proxy_tex:
+        eng.set_proxy(load_proxy_texture(args.proxy_tex)[0])
     eng.configure(ud)
     assert eng.wait_ready(timeout_s=600), "engine failed to start"
     return eng
@@ -87,6 +110,11 @@ def _add_scene_args(p):
     p.add_argument("--config", help="UserData JSON (checkpoint) to load")
     p.add_argument("--sync", action="store_true",
                    help="synchronous builder (no worker thread)")
+    p.add_argument("--height-tex", help="height map image (png/jpg)")
+    p.add_argument("--skybox-hdri", help="equirect EXR HDRI")
+    p.add_argument("--skybox-faces", nargs=6, metavar="FACE",
+                   help="6 cubemap face images (+x,-x,+y,-y,+z,-z)")
+    p.add_argument("--proxy-tex", help="proxy ground texture (png/jpg)")
 
 
 def main(argv=None):

@@ -143,6 +143,26 @@ def serve(engine, host="0.0.0.0", port=8080):
                 n = int(self.headers.get("Content-Length", 0))
                 data = json.loads(self.rfile.read(n))
                 engine.handle_key(str(data.get("key", "")), bool(data["pressed"]))
+            elif self.path.startswith("/config"):
+                # live render-config tweaks (the reference's Render window,
+                # gui.rs:414-781): POST {"splat_scale": 1.5, "draw_mode": 1,
+                # "use_clip": true, ...} with RenderConfig field names; also
+                # "freeze_frame"/"step_frame"/"lock_tile"/"lock_sort".
+                n = int(self.headers.get("Content-Length", 0))
+                data = json.loads(self.rfile.read(n))
+                from ..core.config import DrawMode
+
+                for k, v in data.items():
+                    if k in ("freeze_frame", "step_frame", "lock_tile",
+                             "lock_sort", "use_skybox", "use_proxy",
+                             "render_gs"):
+                        setattr(engine, k, bool(v))
+                    elif hasattr(engine.render_config, k):
+                        if k == "draw_mode":
+                            v = DrawMode(int(v))
+                        elif isinstance(v, list):
+                            v = tuple(v)
+                        setattr(engine.render_config, k, v)
             self.send_response(204)
             self.end_headers()
 
