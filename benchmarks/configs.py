@@ -52,8 +52,7 @@ def _time_frames(eng, moves, n_warm=3, n_iter=None):
         eng.camera.translate(moves[i % len(moves)])
         img = eng.frame(readback=False)
         if img is not None:
-            _ = jax.device_get(img[0, 0, 0])  # force device completion
-            k += 1
+            k += 1  # Engine.frame already barriers on a pixel probe
     dt = (time.perf_counter() - t0) / max(k, 1)
     return dt * 1000.0, k
 

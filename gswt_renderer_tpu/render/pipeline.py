@@ -564,7 +564,10 @@ class Renderer:
             img, aux = fn(
                 self.store_packed, stream, draw, uniforms, self.hm4, sky, prox,
             )
-            self.last_aux = jax.device_get(aux)
+            # one combined d2h: aux + a pixel probe (completion barrier for
+            # the whole frame; aux alone is computed before the rasterizer)
+            fetched = jax.device_get((aux, img[0, 0, 0]))
+            self.last_aux = fetched[0]
             # grow-only hint: shrinking would flip buckets and recompile
             self._pairs_hint = max(
                 int(self.last_aux["n_pairs"]), getattr(self, "_pairs_hint", 1) or 1
