@@ -130,6 +130,16 @@ class Engine:
     def __init__(self, scene_vec, viewport=(1920, 1080),
                  renderer_config: RendererConfig | None = None,
                  synchronous: bool = False):
+        # persistent XLA compile cache: first 1080p frame compile is ~60-100 s
+        import os
+
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.expanduser("~/.cache/gswt_tpu_xla"),
+            )
         self.camera = Camera.default(viewport)
         self.keyboard = KeyboardFlyControl()
         self.fly_path = FlyPathControl()

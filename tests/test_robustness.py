@@ -1,0 +1,104 @@
+"""Edge cases: empty draws, camera inside the scene, device-loss-style
+re-render, oracle/pipeline agreement on degenerate inputs."""
+
+import numpy as np
+import pytest
+
+from gswt_renderer_tpu.core import Camera, UserData
+from gswt_renderer_tpu.core.config import (
+    RenderConfig,
+    SelectiveMergeType,
+    SurfaceType,
+    TileSortType,
+)
+from gswt_renderer_tpu.io.synth import synthetic_scene_vec
+from gswt_renderer_tpu.render.pipeline import Renderer, RendererConfig
+from gswt_renderer_tpu.render.uniforms import SceneParams
+from gswt_renderer_tpu.tiles import WangTileEngine
+
+
+@pytest.fixture(scope="module")
+def setup():
+    sv = synthetic_scene_vec(n_lod=2, splats_per_tile=48)
+    eng = WangTileEngine(sv)
+    ud = UserData.from_ui(
+        tile_map_half_wh=(1, 1), surface_type=SurfaceType.NONE,
+        merge_type=SelectiveMergeType.NONE,
+        tile_sort_type=TileSortType.DISTANCE, lod_blending=False,
+        lod_max_dist=8.0, height_map_scale=(1.0, 0.0),
+    )
+    eng.configure(ud)
+    eng.build_tiles(np.zeros(3, np.float32))
+    r = Renderer(eng, RendererConfig(width=64, height=64, max_draws=32,
+                                     max_stream=1 << 12, min_stream=1 << 10,
+                                     chunk=128))
+    r.configure(ud)
+    return eng, ud, r
+
+
+def test_render_gs_disabled_is_background(setup):
+    eng, ud, r = setup
+    cam_pos = np.zeros(3, np.float32) + [0, 0, 5]
+    camera = Camera((64, 64), cam_pos, (0, 0, 0), (0, 1, 0),
+                    np.deg2rad(60.0), 0.1, 100.0)
+    dt = eng.sort_tiles(cam_pos, camera.view_proj())
+    sp = SceneParams.from_data(ud, eng.center_coord, RenderConfig.new(2))
+    img = r.render(dt, camera, sp, render_gs=False)
+    assert np.allclose(img, 0.0)
+
+
+def test_camera_outside_scene(setup):
+    eng, ud, r = setup
+    cam_pos = np.array([500.0, 500.0, 5.0], np.float32)
+    camera = Camera((64, 64), cam_pos, (501, 501, 5), (0, 0, 1),
+                    np.deg2rad(60.0), 0.1, 100.0)
+    dt = eng.sort_tiles(cam_pos, camera.view_proj())
+    sp = SceneParams.from_data(ud, eng.center_coord, RenderConfig.new(2))
+    img = r.render(dt, camera, sp)
+    assert np.isfinite(img).all()
+    assert img[..., 3].max() < 1e-3  # nothing visible
+
+
+def test_camera_inside_splats(setup):
+    eng, ud, r = setup
+    cam_pos = np.array([0.5, 0.5, 0.4], np.float32)
+    camera = Camera((64, 64), cam_pos, (1.0, 1.0, 0.4), (0, 0, 1),
+                    np.deg2rad(60.0), 0.1, 100.0)
+    dt = eng.sort_tiles(cam_pos, camera.view_proj())
+    sp = SceneParams.from_data(ud, eng.center_coord, RenderConfig.new(2))
+    img = r.render(dt, camera, sp)
+    assert np.isfinite(img).all()
+
+
+def test_repeat_render_is_deterministic(setup):
+    eng, ud, r = setup
+    cam_pos = np.array([0.0, 0.0, 6.0], np.float32)
+    camera = Camera((64, 64), cam_pos, (0, 0, 0), (0, 1, 0),
+                    np.deg2rad(60.0), 0.1, 100.0)
+    dt = eng.sort_tiles(cam_pos, camera.view_proj())
+    sp = SceneParams.from_data(ud, eng.center_coord, RenderConfig.new(2))
+    staged = r.stage(dt, camera)
+    a = r.render(dt, camera, sp, staged=staged)
+    b = r.render(dt, camera, sp, staged=staged)
+    assert np.array_equal(a, b)
+
+
+def test_golden_image_stable(setup):
+    """Regression guard: a fixed scene/camera hash must not drift. If an
+    intentional rendering change lands, re-derive via the NumPy oracle (the
+    parity tests) and update the reference statistics here."""
+    eng, ud, r = setup
+    cam_pos = np.array([0.0, 0.0, 6.0], np.float32)
+    camera = Camera((64, 64), cam_pos, (0.0, 0.5, 0.0), (0, 1, 0),
+                    np.deg2rad(60.0), 0.1, 100.0)
+    dt = eng.sort_tiles(cam_pos, camera.view_proj())
+    sp = SceneParams.from_data(ud, eng.center_coord, RenderConfig.new(2))
+    img = r.render(dt, camera, sp)
+    # compare against the oracle (authoritative), not hard-coded numbers
+    from gswt_renderer_tpu.refrender import render_oracle
+    from gswt_renderer_tpu.render import build_frame_inputs
+
+    fi = build_frame_inputs(eng, dt, camera, RenderConfig.new(2))
+    ref = render_oracle(fi, 64, 64)
+    diff = np.abs(img - ref).max(axis=-1)
+    assert np.mean(diff) < 1e-4
