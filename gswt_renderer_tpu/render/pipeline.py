@@ -486,7 +486,7 @@ class Renderer:
         if hint is None:
             want = int(s_pad * c.pairs_factor)
         else:
-            want = int(hint * 1.15)
+            want = int(hint * 1.4)
         want = max(want, c.chunk)
         return _next_pow2(want, c.chunk, 1 << 24)
 
