@@ -291,3 +291,67 @@ def test_sphere_topology():
     # tiles live on the sphere of radius ~20 (+/- local height)
     r = np.linalg.norm(eng.tile_center.reshape(-1, 3), axis=1)
     assert np.all(np.abs(r - 20.0) < 3.0)
+
+
+def test_axis_merge_rows(engine):
+    _configure(
+        engine,
+        tile_map_half_wh=(5, 5),
+        merge_type=SelectiveMergeType.AXIS,
+        merge_tile_dist=(2, 4),
+        tile_sort_type=TileSortType.DISTANCE,
+    )
+    cam = np.array([0.0, 0.0, 2.0], np.float32)
+    engine.build_tiles(cam)
+    from gswt_renderer_tpu.core import Camera
+
+    camera = Camera((640, 480), cam, (0.0, 10.0, 1.0), (0.0, 0.0, 1.0),
+                    np.deg2rad(60.0), 0.1, 200.0)
+    dt = engine.sort_tiles(cam, camera.view_proj())
+    merged = np.where(dt.single_draw == 1)[0]
+    # merge_tile_dist (2, 4) -> two 3-wide rows ahead of the camera
+    assert len(merged) == 2
+    for row in merged:
+        host = int(dt.map_index[row])
+        assert len(engine.merge_groups[host]) == 3
+    # MergedTo tiles are excluded from the draw list
+    w, h = engine.user_data.tile_map_wh
+    assert dt.n_draws == w * h - 2 * 2  # 2 groups x 2 absorbed neighbors
+
+
+def test_viewport_and_bfs_orderings(engine):
+    from gswt_renderer_tpu.core import Camera
+
+    for sort_type in (TileSortType.VIEWPORT, TileSortType.OBJECT):
+        _configure(
+            engine,
+            merge_type=SelectiveMergeType.NONE,
+            tile_sort_type=sort_type,
+        )
+        cam = np.array([0.3, -1.0, 3.0], np.float32)
+        engine.build_tiles(cam)
+        camera = Camera((640, 480), cam, (0.3, 10.0, 1.0), (0.0, 0.0, 1.0),
+                        np.deg2rad(60.0), 0.1, 200.0)
+        dt = engine.sort_tiles(cam, camera.view_proj())
+        w, h = engine.user_data.tile_map_wh
+        assert dt.n_draws == w * h
+        assert sorted(dt.map_index.tolist()) == list(range(w * h))
+        if sort_type == TileSortType.VIEWPORT:
+            # far-to-near along the view z row
+            zrow = camera.view_proj()[2, :3]
+            c = engine.tile_center.reshape(-1, 3)[dt.map_index]
+            keys = c @ zrow
+            assert np.all(np.diff(keys) <= 1e-4)
+        else:
+            # BFS reversed: the LAST drawn tile is the nearest one
+            last = engine.tile_center.reshape(-1, 3)[dt.map_index[-1]]
+            d_last = np.sum((last - cam) ** 2)
+            dists = np.sum(
+                (engine.tile_center.reshape(-1, 3) - cam) ** 2, axis=1
+            )
+            assert np.isclose(d_last, dists.min())
+
+
+def test_always_sort_flag(engine):
+    ud = _configure(engine, always_sort=True)
+    assert ud.always_sort
