@@ -391,6 +391,26 @@ class Engine:
             build_trigger=self.build_trigger_ma.calc()[0],
         )
 
+    def hud_text(self) -> str:
+        """Terminal HUD: the reference's Render/Perf window counters
+        (gui.rs:424-453, 790-828) as one line."""
+        f_avg, f_std = self.frame_time_ma.calc()
+        s_avg, _ = self.sort_time_ma.calc()
+        b_avg, _ = self.build_time_ma.calc()
+        fps = 1000.0 / f_avg if f_avg > 0 else 0.0
+        splats = self.cur_scene.splat_count if self.cur_scene else 0
+        per_lod = (
+            "/".join(str(c) for c in self.cur_scene.lod_instance_count)
+            if self.cur_scene
+            else "-"
+        )
+        return (
+            f"fps {fps:6.2f} | frame {f_avg:7.1f}±{f_std:5.1f} ms | "
+            f"sort {s_avg:6.1f} ms ({self.sort_trigger_ma.calc()[0] * 100:3.0f}%) | "
+            f"build {b_avg:6.1f} ms ({self.build_trigger_ma.calc()[0] * 100:3.0f}%) | "
+            f"splats {splats:,} | tiles/lod {per_lod}"
+        )
+
     @staticmethod
     def format_benchmark(r) -> str:
         """LaTeX-style dump like the reference (gui.rs:980-997)."""

@@ -125,3 +125,10 @@ def test_engine_checkpoint_roundtrip(tmp_path):
     assert eng2.config_user_data is not None
     img = eng2.frame()
     assert img is not None
+
+
+def test_hud_text():
+    eng = _small_engine(synchronous=True)
+    eng.frame()
+    text = eng.hud_text()
+    assert "fps" in text and "splats" in text and "tiles/lod" in text
