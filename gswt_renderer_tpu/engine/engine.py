@@ -171,7 +171,7 @@ class Engine:
         self.cur_sort = None
         self.next_sort = None
         self._staged = None
-        self._staged_id = None
+        self._staged_sort = None   # the DrawTable object _staged was built from
 
         # metrics (structure.rs:224-230)
         window = 200
@@ -216,7 +216,7 @@ class Engine:
         self.cur_scene = self.next_scene = None
         self.cur_sort = self.next_sort = None
         self._staged = None
-        self._staged_id = None
+        self._staged_sort = None
 
     # ------------------------------------------------------------------ #
     def set_skybox(self, tex, equirect=True):
@@ -289,6 +289,23 @@ class Engine:
             if got and self.status == EngineStatus.POST_CONFIG:
                 self._finish_configure(cfg)
 
+        # fast path (state.rs:350-359): a re-sort of the CURRENT scene (e.g.
+        # the camera rotated in place, so no rebuild happened) replaces
+        # cur_sort directly — otherwise it would park in next_sort forever
+        # waiting for a next_scene that never comes, rendering stale order.
+        if (
+            self.next_sort is not None
+            and self.cur_scene is not None
+            and self.next_sort.scene_id == self.cur_scene.scene_id
+        ):
+            self.cur_sort = self.next_sort
+            staged = getattr(self, "_next_staged", None)
+            if staged is not None:
+                self._staged = staged
+                self._staged_sort = self.cur_sort
+            self._next_staged = None
+            self.next_sort = None
+
         # promote a matching (scene, sort) pair (state.rs:361-376)
         if (
             self.next_scene is not None
@@ -300,7 +317,7 @@ class Engine:
             staged = getattr(self, "_next_staged", None)
             if staged is not None:
                 self._staged = staged
-                self._staged_id = id(self.cur_sort)
+                self._staged_sort = self.cur_sort
             self._next_staged = None
             self.next_scene = None
             self.next_sort = None
@@ -325,11 +342,11 @@ class Engine:
             return self.last_image
         self.step_frame = False
 
-        if self._staged_id is not id(self.cur_sort):
+        if self._staged_sort is not self.cur_sort:
             self._staged = self.renderer.stage(
                 self.cur_sort, self.camera, self.render_config.culling_dist
             )
-            self._staged_id = id(self.cur_sort)
+            self._staged_sort = self.cur_sort
 
         self.scene_params = SceneParams.from_data(
             self.config_user_data, self.cur_scene.center_coord, self.render_config

@@ -37,6 +37,15 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int):
     ntx = -(-w_img // tw)
     nty = -(-h_img // th)
     n_tiles = ntx * nty
+    # bbox packs x0/y0/nx into 8 bits each and entry_tf packs the tile id
+    # into 24 bits; reject configs that would silently alias
+    if ntx > 256 or nty > 256:
+        raise ValueError(
+            f"tile grid {ntx}x{nty} exceeds the 256x256 bbox packing budget; "
+            "increase tile_w/tile_h for this resolution"
+        )
+    if n_tiles >= 1 << 24:
+        raise ValueError(f"n_tiles {n_tiles} exceeds the 24-bit worklist packing")
 
     cx, cy = p["cx"], p["cy"]
     ex, ey = p["ext_x"], p["ext_y"]

@@ -359,6 +359,10 @@ def assemble_and_project(stream_packed, merged_map_tail, draw,
     osrc = jnp.where(single == 1, mid, map_index)
     off_x = ((osrc // map_h) - half[0] + cc[0]).astype(jnp.float32) * tw
     off_y = ((osrc % map_h) - half[1] + cc[1]).astype(jnp.float32) * tw
+    # DRAW-uniform offset (u_tile.offset, gswt.wgsl:277): the TileID debug
+    # tint seeds from this — ONE tint per merged draw, not per source tile
+    doff_x = ((map_index // map_h) - half[0] + cc[0]).astype(jnp.float32) * tw
+    doff_y = ((map_index % map_h) - half[1] + cc[1]).astype(jnp.float32) * tw
     off_z = jnp.zeros(s, jnp.float32)
     ssc = scene["scene_scale"]
     cx_w = (pos_x + off_x) * ssc[0]
@@ -526,7 +530,7 @@ def assemble_and_project(stream_packed, merged_map_tail, draw,
 
     # color + debug modes + lod alpha + near fade
     cr, cg, cb, ca = _apply_draw_mode(
-        draw_mode, cr, cg, cb, ca, pos_x, pos_y, off_x, off_y, tile_lod,
+        draw_mode, cr, cg, cb, ca, pos_x, pos_y, doff_x, doff_y, tile_lod,
         lod_id, single, is_changing, t_ratio, view_id, single_lod, tile_id,
         scene, surface_type
     )

@@ -216,6 +216,9 @@ def project_draw_np(fi: FrameInputs, gs_index, map_id, lod_id, draw_id):
     tile_lod = d.tile_lod[row].astype(np.int64)
     valid_lod = d.valid_lod_id[row].astype(np.int64)
     offset = d.offset[row].astype(np.float32)
+    # the DRAW-uniform offset (u_tile.offset): the TileID debug tint is
+    # seeded with this, one tint per merged draw (gswt.wgsl:277)
+    offset_draw = offset.copy()
 
     # Early discard: wrong lod id (gswt.wgsl:39-42)
     valid &= ~((valid_lod >= 0) & (valid_lod != lod_id))
@@ -421,7 +424,7 @@ def project_draw_np(fi: FrameInputs, gs_index, map_id, lod_id, draw_id):
         if merged.any():
             dbg[merged, :3] = (
                 np.stack([gray, gray, gray], axis=1)[merged]
-                * _random_vec3(offset[merged][:, :2])
+                * _random_vec3(offset_draw[merged][:, :2])
             )
         color = dbg
     elif dm == 2:  # TileLOD

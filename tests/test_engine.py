@@ -99,6 +99,32 @@ def test_engine_async_builder_pairs_ids():
         eng.shutdown()
 
 
+def test_engine_resort_in_place_promotes_fast_path():
+    """Rotating the camera in place re-sorts WITHOUT a rebuild; the new sort
+    must replace cur_sort directly (state.rs fast path) instead of parking in
+    next_sort forever waiting for a scene that never comes."""
+    eng = _small_engine(synchronous=False)
+    try:
+        assert eng.wait_ready(timeout_s=120)
+        sort0 = eng.cur_sort
+        builds0 = len(eng.build_time_ma)
+        # rotate in place via the yaw key: position unchanged (no rebuild
+        # trigger) but the view-projection changes every frame
+        eng.handle_key("j", True)
+        for _ in range(400):
+            eng.frame(readback=False)
+            if eng.cur_sort is not sort0:
+                break
+        eng.handle_key("j", False)
+        assert eng.cur_sort is not sort0, "re-sort never promoted (stale order)"
+        assert eng.cur_sort.scene_id == eng.cur_scene.scene_id
+        assert len(eng.build_time_ma) == builds0, "rotation must not rebuild"
+        # the staged upload produced by the builder must ride along
+        assert eng._staged_sort is eng.cur_sort or eng._staged_sort is None
+    finally:
+        eng.shutdown()
+
+
 def test_engine_benchmark_and_format():
     eng = _small_engine(synchronous=True)
     fp = FlyPathControl()
