@@ -7,21 +7,22 @@ splat stream (static MAX_STREAM), assembled on device, and the vertex math
 runs vectorized over the stream. Semantics follow the WGSL line-for-line;
 the NumPy oracle (refrender/oracle.py) is the test reference.
 
-TPU performance notes (XLA gathers cost ~12-16 ns *per index* regardless of
-how many components ride along, so the design packs everything into as few
-gathers as possible):
-- ONE unified index table [2, M + max_merged] holds the resident presorted
-  (gs_index | lod<<26, map_id) entries plus a per-frame merged-stream tail,
-  so assembly is a single 2-component gather;
-- the splat store is ONE packed [10, N] table (pos xyz, cov 6, rgba as
-  bitcast u32) -> a single 10-component gather;
-- all per-draw uniforms pack into ONE [6, D] table (3 offsets + 2 bitfields)
-  gathered once by draw id.
+TPU performance notes (XLA element gathers cost ~30-40 ns *per row*; panel
+copies run at HBM bandwidth — 25x faster for this stream):
+- every draw segment is a 256-aligned contiguous slice of the materialized
+  reversed presort panel table (built once at preprocess) or of a small
+  per-sort merged scratch, so assembly is ONE Pallas panel block-gather
+  (ops/blockgather.py) instead of per-splat element gathers;
+- per-draw uniforms broadcast per 256-lane block from the host-staged plan
+  — no draw-id scatter/cummax recovery on device;
+- the only element gathers left are the merged scratch build (~10-20% of
+  the stream) and the height-map taps.
 Everything per-splat stays component-major (splat axis last) — [S, 3]-style
 arrays would be lane-padded 3 -> 128 on TPU.
 
-The stream is assembled directly front-to-back (reversed draw order) so the
-transmittance compositor needs no flips.
+The stream is assembled directly front-to-back (reversed draw order,
+reversed lanes within each draw) so the transmittance compositor needs no
+flips.
 """
 
 from __future__ import annotations
@@ -217,109 +218,91 @@ def cull_draws(draw, cam, culling_dist, lod_enable):
     return keep
 
 
-def build_uniform_table(draw, keep):
-    """Pack all per-draw uniforms into a [2, D] i32 table so the per-splat
-    expansion is a single 2-component gather. The per-draw tile offset is NOT
-    stored: it always equals coord_to_pos(map_to_coord(map_coord)) and is
-    recomputed per splat from map_index (wangtile.rs:1705,1734 keep offsets
-    equal to that formula across scrolls)."""
-    single = draw["single_draw"].astype(jnp.int32)
-    changing = draw["changing"].astype(jnp.int32)
-    to_lower = draw["changing_to_lower"].astype(jnp.int32) + 1  # -1..1 -> 0..2
-    tile_lod = draw["tile_lod"].astype(jnp.int32)
-    valid_lod = draw["single_valid_lod"].astype(jnp.int32) + 1  # -1.. -> 0..
-    view_id = draw["view_id"].astype(jnp.int32)
-    tile_id = draw["tile_id"].astype(jnp.int32)
-    map_index = draw["map_index"].astype(jnp.int32)
-    single_lod = draw["single_lod_id"].astype(jnp.int32) + 1
+def pack_draw_bits(single, changing, to_lower, tile_lod, valid_lod, view_id,
+                   tile_id, map_index, single_lod, keep=1):
+    """Per-draw uniform bit packing (host or device; numpy or jnp arrays).
+    The per-draw tile offset is NOT stored: it always equals
+    coord_to_pos(map_to_coord(map_coord)) and is recomputed per splat from
+    map_index (wangtile.rs:1705,1734 keep offsets equal to that formula
+    across scrolls). to_lower/valid_lod/single_lod are stored +1 (so -1
+    becomes 0)."""
     bits1 = (
         single
         | (changing << 1)
-        | (to_lower << 2)
+        | ((to_lower + 1) << 2)
         | (tile_lod << 4)
-        | (valid_lod << 9)
+        | ((valid_lod + 1) << 9)
         | (view_id << 14)
         | (tile_id << 18)
-        | (keep.astype(jnp.int32) << 28)
+        | (keep << 28)
     )
-    bits2 = map_index | (single_lod << 22)
-    return jnp.stack(
-        [
-            bits1,
-            bits2,
-            draw["stream_start"].astype(jnp.int32),
-            draw["stream_count"].astype(jnp.int32),
-        ],
-        axis=0,
-    )
+    bits2 = map_index | ((single_lod + 1) << 22)
+    return bits1, bits2
 
 
-def assemble_and_project(stream_packed, merged_map_tail, draw,
-                         keep_draw, store_packed, scene, cam,
-                         hm4, hm_wh, *, surface_type: int,
+def assemble_and_project(blocks, merged, panels, keep_draw, store_packed,
+                         scene, cam, hm4, hm_wh, *, surface_type: int,
                          draw_mode: int, image_wh,
-                         point_cloud: bool = False):
-    """Project the host-assembled front-to-back splat stream (vs_main math).
+                         point_cloud: bool = False,
+                         gs_enable=None, interpret: bool = False):
+    """Assemble the front-to-back splat stream from 256-wide panels and
+    project it (vs_main math, gswt.wgsl:27-422).
 
-    stream_packed: [S] i32 (gs_index | lod<<26), host-assembled per sort by
-    concatenating the resident presort tables / merged streams in reversed
-    draw order (so it is front-to-back). Draw ids are recomputed on device
-    from draw["starts_rev"] (reversed-order prefix sums) — the stream order
-    is draw D-1-slot, so no draw-id upload. merged_map_tail: [M] i32 map ids
-    of the merged streams (small per-sort upload); per-splat map ids gather
-    from it via the draw's stream_start/count.
-    store_packed: [10, N] f32 (pos xyz, cov 6, rgba bitcast u32).
+    The stream is a sequence of per-draw segments; every segment is a
+    256-aligned contiguous slice of either `panels` (the materialized
+    reversed presort tables, rows: pos xyz, cov 6, rgba u32, packed
+    gs|lod<<26, map id) or the per-sort merged scratch built here from
+    `merged` (2 x M i32: packed indices + map ids, reversed lane order).
+    So assembly is ONE panel block-gather plus a small element gather for
+    the merged scratch — no per-splat element gathers, scatters, or draw-id
+    recovery (per-draw uniforms broadcast per block).
+
+    blocks: [5, NB] i32 host-staged plan, rows:
+      0 src    — panel id into [panels | merged scratch]
+      1 bits1  — per-draw uniform bits (pack_draw_bits); bit 28 set iff live
+      2 bits2
+      3 nvalid — live lanes in this block (0 for padding)
+      4 draw   — draw id (indexes keep_draw)
     Returns dict: valid [S], cx/cy/z [S], k (6 comps), color (4 comps),
-    ext_x/ext_y [S].
+    ext_x/ext_y [S]  (S = NB*256).
     """
-    s = stream_packed.shape[0]
-    # global stream index (stream_offset supports stream-parallel sharding)
-    i = jnp.arange(s, dtype=jnp.int32) + draw["stream_offset"].astype(jnp.int32)
-    in_range = i < draw["total_splats"].astype(jnp.int32)
-    packed = stream_packed
-    gs = packed & ((1 << GS_BITS) - 1)
+    from .blockgather import BLOCK, block_gather
+
+    bc = jax.lax.bitcast_convert_type
+    nb = blocks.shape[1]
+    s = nb * BLOCK
+
+    # merged scratch: per-sort streams exist only as store indices, so one
+    # element gather (small: merged buckets are ~10-20% of the stream)
+    mp = merged[0]
+    gs_m = mp & ((1 << GS_BITS) - 1)
+    srows_m = store_packed[:, gs_m]  # [10, M]
+    scratch = jnp.concatenate(
+        [srows_m, bc(mp, jnp.float32)[None], bc(merged[1], jnp.float32)[None]],
+        axis=0,
+    )  # [12, M]
+    combined = jnp.concatenate([panels, scratch], axis=1)
+    params = block_gather(combined, blocks[0], interpret=interpret)  # [12, S]
+
+    pos_x, pos_y, pos_z = params[0], params[1], params[2]
+    va0, vb0, vc0, vd0, ve0, vf0 = (params[3 + t] for t in range(6))
+    rgba_bits = bc(params[9], jnp.uint32)
+    packed = bc(params[10], jnp.int32)
+    mid = bc(params[11], jnp.int32)
     lod_id = (packed >> GS_BITS) & 0xF
 
-    # device-side draw-id: stream slot k holds draw (n_draws-1-k). A
-    # searchsorted here lowers to a 14-iteration gather loop (~300 ms at 3M);
-    # scatter + cummax forward-fill is ~free. Positions are global; shift by
-    # stream_offset for the sharded case.
-    starts_rev = draw["starts_rev"]  # [D+1] prefix sums in stream order
-    off = draw["stream_offset"].astype(jnp.int32)
-    slot_ids = jnp.arange(starts_rev.shape[0] - 1, dtype=jnp.int32)
-    scat_pos = jnp.clip(starts_rev[:-1] - off, -1, s)  # OOB -> dropped
-    mark = jnp.full(s, -1, jnp.int32).at[scat_pos].max(slot_ids, mode="drop")
-    # positions before the first local scatter belong to the slot covering
-    # stream_offset: seed with that slot via a cummax floor
-    seed_slot = jnp.sum((starts_rev[:-1] <= off).astype(jnp.int32)) - 1
-    slot = jnp.maximum(jax.lax.cummax(mark), seed_slot)
-    slot = jnp.clip(slot, 0, starts_rev.shape[0] - 2)
-    d = jnp.clip(draw["n_draws"].astype(jnp.int32) - 1 - slot, 0, None)
-    # start position of each slot, forward-filled the same way (starts_rev is
-    # monotonic, so cummax is the correct fill; avoids a 16k-table gather)
-    svals = jnp.zeros(s, jnp.int32).at[scat_pos].max(
-        starts_rev[:-1], mode="drop"
-    )
-    slot_start = jnp.maximum(
-        jax.lax.cummax(svals), starts_rev[jnp.maximum(seed_slot, 0)]
-    )
-    j_in = i - slot_start
+    # per-draw uniforms broadcast per block (no gather, no scatter recovery)
+    def bcast(row):
+        return jnp.broadcast_to(row[:, None], (nb, BLOCK)).reshape(s)
 
-    # per-draw uniforms: ONE 4-component gather
-    utab = build_uniform_table(draw, keep_draw)
-    u = utab[:, d]
-    bits1 = u[0]
-    bits2 = u[1]
-    ss_d = u[2]
-    cnt_d = u[3]
-    # merged map ids: within-draw order was reversed at assembly
-    merged_d = ss_d >= 0
-    m_idx = jnp.clip(
-        jnp.where(merged_d, ss_d + cnt_d - 1 - j_in, 0),
-        0, merged_map_tail.shape[0] - 1,
-    )
-    mid = jnp.where(merged_d, merged_map_tail[m_idx], 0)
-    bc = jax.lax.bitcast_convert_type
+    bits1 = bcast(blocks[1])
+    bits2 = bcast(blocks[2])
+    lane = jax.lax.broadcasted_iota(jnp.int32, (nb, BLOCK), 1).reshape(s)
+    in_range = lane < bcast(blocks[3])
+    keep_blk = keep_draw[blocks[4]].astype(jnp.int32)
+    keep = bcast(keep_blk) & ((bits1 >> 28) & 1)
+    if gs_enable is not None:
+        keep = keep & gs_enable.astype(jnp.int32)
     single = bits1 & 1
     changing = (bits1 >> 1) & 1
     to_lower = ((bits1 >> 2) & 3) - 1
@@ -327,17 +310,11 @@ def assemble_and_project(stream_packed, merged_map_tail, draw,
     valid_lod = ((bits1 >> 9) & 31) - 1
     view_id = (bits1 >> 14) & 15
     tile_id = (bits1 >> 18) & 1023
-    keep = (bits1 >> 28) & 1
     map_index = bits2 & ((1 << 22) - 1)
     single_lod = ((bits2 >> 22) & 31) - 1
 
     valid = in_range & (keep == 1)
 
-    # splat store: ONE 10-component gather
-    srows = store_packed[:, gs]
-    pos_x, pos_y, pos_z = srows[0], srows[1], srows[2]
-    va0, vb0, vc0, vd0, ve0, vf0 = (srows[3 + t] for t in range(6))
-    rgba_bits = bc(srows[9], jnp.uint32)
     cr = (rgba_bits & 0xFF).astype(jnp.float32) / 255.0
     cg = ((rgba_bits >> 8) & 0xFF).astype(jnp.float32) / 255.0
     cb = ((rgba_bits >> 16) & 0xFF).astype(jnp.float32) / 255.0

@@ -92,7 +92,7 @@ def render_cameras_sharded(renderer, staged, scene_params, cam_batch, mesh,
     def per_device(cams_local):
         def body(carry, cam):
             img, _ = frame(
-                renderer.store_packed, stream, draw, cam,
+                renderer.store_packed, renderer.panels, stream, draw, cam,
                 renderer.hm4, sky, prox,
             )
             return carry, img
@@ -131,9 +131,8 @@ def render_stream_sharded(renderer, staged, scene_params, camera, mesh,
     stream = staged["stream"]
     draw = staged["draw"]
     n_sp = mesh.shape["sp"]
-    s_pad = stream["packed"].shape[0]
-    assert s_pad % n_sp == 0
-    seg = s_pad // n_sp
+    nb = stream["blocks"].shape[1]
+    assert nb % n_sp == 0, (nb, n_sp)
 
     frame = functools.partial(
         renderer._frame_packed,
@@ -147,15 +146,13 @@ def render_stream_sharded(renderer, staged, scene_params, camera, mesh,
     sky = jnp.zeros((1, 1, 3))
     prox = jnp.zeros((1, 1, 3))
 
-    def per_device(packed):
-        # local segment: shift the global stream offset per shard
-        idx = jax.lax.axis_index("sp")
-        local_draw = dict(draw)
-        local_draw["stream_offset"] = idx * seg
+    def per_device(blocks_local):
+        # each shard assembles + composites its contiguous block range of
+        # the front-to-back stream (panels + merged scratch replicated)
         img, _ = frame(
-            renderer.store_packed,
-            dict(packed=packed[0], map_tail=stream["map_tail"]),
-            local_draw, uniforms,
+            renderer.store_packed, renderer.panels,
+            dict(blocks=blocks_local, merged=stream["merged"]),
+            draw, uniforms,
             renderer.hm4, sky, prox,
         )
         # fold segment images front-to-back across 'sp'
@@ -170,9 +167,8 @@ def render_stream_sharded(renderer, staged, scene_params, camera, mesh,
     shard = jax.shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(P("sp"),),
+        in_specs=(P(None, "sp"),),
         out_specs=P(),
         check_vma=False,
     )
-    packed = stream["packed"].reshape(n_sp, seg)
-    return shard(packed)
+    return shard(stream["blocks"])

@@ -2,19 +2,20 @@
 
 One frame = one XLA program over dense HBM arrays:
 
-  cull draws -> project the host-assembled splat stream (vs_main math,
-  vectorized; ONE packed-store gather + ONE per-draw-uniform gather) ->
-  tile binning (scatter/cummax expansion + stable payload sort by image
-  tile) -> Pallas ordered compositor -> composite over skybox/proxy.
+  cull draws -> assemble + project the splat stream (panel block-gather +
+  vs_main math, vectorized) -> tile binning (scatter/cummax expansion +
+  stable payload sort by image tile) -> Pallas ordered compositor ->
+  composite over skybox/proxy.
 
 Host/device split (mirrors the reference's preloaded vs streaming buffers,
-renderer.rs:270-327, recast for TPU): the splat store and height map live in
-HBM across frames; the *splat stream* (concatenation of per-draw presorted
-index lists, renderer.rs:466-591) is assembled on the host builder thread —
-it is a pure memcpy of precomputed slices — and uploaded once per SORT, not
-per frame. Between sorts only the camera changes, so a frame uploads ~200
-bytes. Stream buffers are bucketed to powers of two to keep shapes static
-with minimal padding (XLA gathers cost per padded index).
+renderer.rs:270-327, recast for TPU): the splat store, the materialized
+presort panels and the height map live in HBM across frames; the *splat
+stream* (concatenation of per-draw presorted lists, renderer.rs:466-591) is
+described by a per-SORT block plan built on the host builder thread — a few
+hundred KB of panel ids + per-draw bits — and assembled ON DEVICE by one
+Pallas panel copy (ops/blockgather.py). Between sorts only the camera
+changes, so a frame uploads ~450 bytes. Stream buffers are bucketed to
+powers of two to keep shapes static with minimal padding.
 """
 
 from __future__ import annotations
@@ -34,7 +35,7 @@ from ..ops.project import GS_BITS, pack_tex4
 from ..ops.proxy import render_proxy
 from ..ops.skybox import render_skybox
 from ..tiles.structures import DrawTable
-from .uniforms import SceneParams, flatten_preload
+from .uniforms import SceneParams
 
 
 def _is_tpu():
@@ -42,6 +43,10 @@ def _is_tpu():
         return jax.devices()[0].platform in ("tpu", "axon")
     except Exception:  # pragma: no cover
         return False
+
+
+STREAM_BLOCK = 256  # stream panel width (ops/blockgather.py BLOCK)
+PANEL_ROWS = 12     # pos xyz, cov 6, rgba u32, packed gs|lod, map id
 
 
 def _next_pow2(n, lo, hi):
@@ -95,48 +100,67 @@ class Renderer:
         packed_store[9] = rgba_u32.view(np.float32)
         self.store_packed = jnp.asarray(packed_store)
 
-        pgi, pgl, poff = flatten_preload(engine)
         assert n < (1 << GS_BITS), "splat store exceeds 26-bit index budget"
-        # host-resident packed presort tables: stream assembly is memcpy
-        self.preload_packed_host = (
-            pgi.astype(np.int64) | (pgl.astype(np.int64) << GS_BITS)
-        ).astype(np.int32)
-        self.preload_offset_host = poff  # [n_lod, n_tile, n_view] i64
-
-        # Filtered per-(l,t,v) tables holding only the lod-l entries of the
-        # blended presort order: a non-changing draw discards the blended
-        # lower-lod entries in the shader anyway (valid_lod_id,
-        # gswt.wgsl:39-42), so assembling the filtered list is exact and
-        # roughly halves the per-frame stream.
+        # Materialized presort panels: for every (lod, tile, view) the
+        # REVERSED blended presort table (kind 0) and the reversed filtered
+        # own-lod table (kind 1; a non-changing draw discards the blended
+        # lower-lod entries in the shader anyway — valid_lod_id,
+        # gswt.wgsl:39-42 — so assembling the filtered list is exact and
+        # roughly halves the per-frame stream), each segment 256-aligned.
+        # A draw's stream segment is then a PREFIX of its panel segment
+        # (draws always carry the full table; stream lanes are globally
+        # front-to-back, i.e. reversed), so per-sort stream assembly is a
+        # pure panel block-gather (ops/blockgather.py) instead of per-splat
+        # element gathers — the round-1 profile's largest line item.
+        blk = STREAM_BLOCK
         n_lod, n_tile, n_view = engine.n_tiles
-        f_chunks = []
-        self.filtered_offset_host = np.zeros((n_lod, n_tile, n_view), np.int64)
-        self.filtered_count_host = np.zeros((n_lod, n_tile, n_view), np.int64)
-        pos = 0
+        self.seg_block = np.zeros((2, n_lod, n_tile, n_view), np.int64)
+        self.seg_count = np.zeros((2, n_lod, n_tile, n_view), np.int64)
+        segs = []  # (kind, l, t, v, idx_fwd, lod_fwd)
+        base = 0
         for l in range(n_lod):
             for t in range(n_tile):
                 for v in range(n_view):
                     bd = engine.tile_base_data[l][t][v]
-                    sel = bd.gs_index[bd.gs_lod_id == l]
-                    self.filtered_offset_host[l, t, v] = pos
-                    self.filtered_count_host[l, t, v] = len(sel)
-                    f_chunks.append(sel)
-                    pos += len(sel)
-        fgi = np.concatenate(f_chunks).astype(np.int64)
-        # all filtered entries have lod == their own l; pack it
-        flod = np.repeat(
-            np.arange(n_lod, dtype=np.int64),
-            [
-                int(self.filtered_count_host[l].sum())
-                for l in range(n_lod)
-            ],
-        )
-        filtered_packed = (fgi | (flod << GS_BITS)).astype(np.int32)
-        # single concatenated table so the C++ assembler takes one pointer
-        self.filtered_offset_host += len(self.preload_packed_host)
-        self.preload_packed_host = np.concatenate(
-            [self.preload_packed_host, filtered_packed]
-        )
+                    own = bd.gs_lod_id == l
+                    for kind, (gi, gl) in enumerate(
+                        (
+                            (bd.gs_index, bd.gs_lod_id),
+                            (bd.gs_index[own], None),
+                        )
+                    ):
+                        self.seg_block[kind, l, t, v] = base // blk
+                        self.seg_count[kind, l, t, v] = len(gi)
+                        segs.append((base, l, gi, gl))
+                        base += -(-max(len(gi), 1) // blk) * blk
+        np_panel = base
+        est_gb = np_panel * PANEL_ROWS * 4 / 1e9
+        if est_gb > 8.0:
+            import sys
+
+            print(
+                f"[gswt] warning: materialized presort panels need "
+                f"{est_gb:.1f} GB HBM; reduce views/lods or shard the scene",
+                file=sys.stderr,
+            )
+        panels = np.zeros((PANEL_ROWS, np_panel), np.float32)
+        for base_i, l, gi, gl in segs:
+            m = len(gi)
+            if m == 0:
+                continue
+            rev = gi[::-1].astype(np.int64)
+            revlod = (
+                gl[::-1].astype(np.int64)
+                if gl is not None
+                else np.full(m, l, np.int64)
+            )
+            panels[0:10, base_i : base_i + m] = packed_store[:, rev]
+            panels[10, base_i : base_i + m] = (
+                (rev | (revlod << GS_BITS)).astype(np.int32).view(np.float32)
+            )
+            # row 11 (map id) stays 0: only merged lanes carry map ids
+        self.panels = jnp.asarray(panels)
+        self.np_panel_blocks = np_panel // blk
 
         self.height_map_wh = (1, 1)
         self.hm4 = jnp.zeros((4, 1), jnp.float32)
@@ -194,79 +218,130 @@ class Renderer:
         culled &= (dt.single_draw[:n] == 0) & (dt.has_corners[:n] == 1)
         return ~culled
 
-    def assemble_stream_host(self, dt: DrawTable, view_proj=None,
-                             culling_dist: float = 1.0):
-        """Concatenate per-draw streams (renderer.rs:466-591's draw loop as a
-        reversed segmented memcpy, in C++) => front-to-back. Returns numpy
-        (packed [S_pad], map [S_pad], draw_id [S_pad], total, n_draws).
-        With view_proj given, host-culled draws are dropped (with a margin;
-        the device cull stays exact)."""
-        from .. import native
+    def plan_blocks_host(self, dt: DrawTable, view_proj=None,
+                         culling_dist: float = 1.0):
+        """Build the per-sort block plan (renderer.rs:466-591's draw loop,
+        recast as panel bookkeeping): walk draws front-to-back (reversed)
+        and emit, per 256-lane block, the source panel id + per-draw uniform
+        bits. Merged streams get a reversed copy into the aligned merged
+        scratch. With view_proj given, host-culled draws are dropped (with a
+        margin; the device cull stays exact).
+
+        Returns (blocks [5, NB] i32, merged [2, M] i32, total, n,
+        truncated_splats)."""
+        from ..ops.project import pack_draw_bits
 
         c = self.cfg
+        blk = STREAM_BLOCK
         n = min(dt.n_draws, c.max_draws)
-        counts = dt.splat_count[:n].astype(np.int64)
-        # non-merged, non-changing draws assemble from the filtered (own-lod)
-        # tables: the blended lower-lod entries would be shader-discarded
-        use_filtered = (dt.stream_start[:n] < 0) & (dt.changing[:n] == 0)
-        bl = np.clip(dt.base_lod[:n], 0, self.preload_offset_host.shape[0] - 1)
-        bt = np.clip(dt.base_tile[:n], 0, self.preload_offset_host.shape[1] - 1)
-        bv = np.clip(dt.base_view[:n], 0, self.preload_offset_host.shape[2] - 1)
+        if n == 0:
+            return (
+                np.zeros((5, 0), np.int32),
+                np.zeros((2, blk), np.int32), 0, 0, 0,
+            )
+        is_merged = dt.stream_start[:n] >= 0
+        changing = dt.changing[:n] == 1
+        bl = np.clip(dt.base_lod[:n], 0, self.seg_count.shape[1] - 1)
+        bt = np.clip(dt.base_tile[:n], 0, self.seg_count.shape[2] - 1)
+        bv = np.clip(dt.base_view[:n], 0, self.seg_count.shape[3] - 1)
+        # non-merged, non-changing draws use the filtered (own-lod) panels
+        kind = np.where(changing, 0, 1)
+        seg_cnt = self.seg_count[kind, bl, bt, bv]
+        seg_base = self.seg_block[kind, bl, bt, bv]
         counts = np.where(
-            use_filtered, self.filtered_count_host[bl, bt, bv], counts
+            is_merged,
+            dt.splat_count[:n].astype(np.int64),
+            np.minimum(dt.splat_count[:n].astype(np.int64), seg_cnt),
         )
-        if view_proj is not None and n > 0:
+        if view_proj is not None:
             keep = self.host_cull(dt, n, view_proj, culling_dist * 1.25)
             counts = np.where(keep, counts, 0)
-        cum = np.cumsum(counts)
-        # truncate draws overflowing the stream capacity
-        over = int(np.searchsorted(cum, c.max_stream, side="right"))
-        counts = counts.copy()
+
+        # front-to-back walk = reversed draw order
+        order = np.arange(n - 1, -1, -1)
+        cnt_r = counts[order]
+        nb_r = -(-cnt_r // blk)
+        # truncate draws overflowing the stream block budget; a truncated
+        # draw keeps its FRONT-most lanes. Surfaced via truncated_splats.
+        max_blocks = c.max_stream // blk
+        cum_b = np.cumsum(nb_r)
+        requested = int(cnt_r.sum())
+        over = int(np.searchsorted(cum_b, max_blocks, side="right"))
         if over < n:
-            prev = int(cum[over - 1]) if over > 0 else 0
-            counts[over] = c.max_stream - prev
-            counts[over + 1 :] = 0
-        total = int(counts.sum())
+            prev = int(cum_b[over - 1]) if over > 0 else 0
+            cnt_r = cnt_r.copy()
+            cnt_r[over] = min(cnt_r[over], (max_blocks - prev) * blk)
+            cnt_r[over + 1 :] = 0
+            nb_r = -(-cnt_r // blk)
+            cum_b = np.cumsum(nb_r)
+        total = int(cnt_r.sum())
+        truncated = requested - total
+        counts_final = np.zeros(n, np.int64)
+        counts_final[order] = cnt_r
 
-        preload_off = np.where(
-            use_filtered,
-            self.filtered_offset_host[bl, bt, bv],
-            self.preload_offset_host[bl, bt, bv],
-        ).astype(np.int64)
+        # merged scratch: reversed lane copies, segment-aligned
+        m_rows = order[is_merged[order] & (cnt_r > 0)]
+        m_nb = -(-counts_final[m_rows] // blk)
+        m_base = np.zeros(len(m_rows), np.int64)
+        if len(m_rows):
+            m_base[1:] = np.cumsum(m_nb)[:-1]
+        m_total_blocks = int(m_nb.sum()) if len(m_rows) else 0
+        merged = np.zeros((2, max(m_total_blocks, 1) * blk), np.int32)
+        merged_base_of = np.zeros(n, np.int64)
+        for r, mb in zip(m_rows, m_base):
+            cnt = int(counts_final[r])
+            # on truncation keep the FRONT-most lanes (stream is reversed,
+            # so the front of a segment is the END of the forward slice)
+            s1 = int(dt.stream_start[r]) + int(dt.splat_count[r])
+            sl = slice(s1 - cnt, s1)
+            merged[0, mb * blk : mb * blk + cnt] = (
+                dt.stream_gs_index[sl].astype(np.int64)
+                | (dt.stream_lod_id[sl].astype(np.int64) << GS_BITS)
+            ).astype(np.int32)[::-1]
+            merged[1, mb * blk : mb * blk + cnt] = (
+                dt.stream_map_id[sl].astype(np.int32)[::-1]
+            )
+            merged_base_of[r] = mb
 
-        merged_packed = (
-            dt.stream_gs_index.astype(np.int64)
-            | (dt.stream_lod_id.astype(np.int64) << GS_BITS)
-        ).astype(np.int32)
-        if len(merged_packed) == 0:
-            merged_packed = np.zeros(1, np.int32)
-            merged_map = np.zeros(1, np.int32)
-        else:
-            merged_map = dt.stream_map_id.astype(np.int32)
-
-        # grow-only bucketing: every new bucket is a fresh XLA compile of the
-        # whole frame program, so never shrink within a session
-        s_pad = _next_pow2(total, c.min_stream, c.max_stream)
-        s_pad = max(s_pad, getattr(self, "_spad_floor", 0))
-        self._spad_floor = s_pad
-        packed = np.zeros(s_pad, np.int32)
-        mapid = np.zeros(s_pad, np.int32)  # host-side only (not uploaded)
-        draw_id = np.zeros(s_pad, np.int32)  # host-side only
-        native.assemble_stream(
-            self.preload_packed_host, merged_packed, merged_map, preload_off,
-            dt.stream_start[:n].astype(np.int64), counts,
-            packed, mapid, draw_id,
+        # per-draw uniform bits (device applies culling via keep_draw)
+        b1, b2 = pack_draw_bits(
+            dt.single_draw[:n].astype(np.int64),
+            dt.changing[:n].astype(np.int64),
+            dt.changing_to_lower[:n].astype(np.int64),
+            dt.tile_lod[:n].astype(np.int64),
+            dt.valid_lod_id[:n].astype(np.int64),
+            dt.view_id[:n].astype(np.int64),
+            dt.tile_id[:n].astype(np.int64),
+            dt.map_index[:n].astype(np.int64),
+            dt.single_lod_id[:n].astype(np.int64),
         )
-        # reversed-order prefix sums for device-side draw-id recovery
-        starts_rev = np.zeros(c.max_draws + 1, np.int64)
-        if n > 0:
-            starts_rev[1 : n + 1] = np.cumsum(counts[::-1])
-        starts_rev[n + 1 :] = starts_rev[n]
-        return packed, merged_map, starts_rev, counts, total, n
+        src_of = np.where(
+            is_merged, self.np_panel_blocks + merged_base_of, seg_base
+        )
 
-    def prepare_draws(self, dt: DrawTable, n: int, total: int, starts_rev,
-                      counts):
-        """Pad per-draw uniform arrays to MAX_DRAWS (host-side)."""
+        # expand per-draw -> per-block
+        live = nb_r > 0
+        d_live = order[live]
+        nb_live = nb_r[live]
+        cnt_live = cnt_r[live]
+        nb_total = int(nb_live.sum())
+        draw_of_block = np.repeat(d_live, nb_live)
+        k_within = np.arange(nb_total, dtype=np.int64) - np.repeat(
+            np.cumsum(nb_live) - nb_live, nb_live
+        )
+        blocks = np.empty((5, nb_total), np.int32)
+        blocks[0] = src_of[draw_of_block] + k_within
+        blocks[1] = b1[draw_of_block]
+        blocks[2] = b2[draw_of_block]
+        blocks[3] = np.minimum(
+            np.repeat(cnt_live, nb_live) - k_within * blk, blk
+        )
+        blocks[4] = draw_of_block
+        return blocks, merged, total, n, truncated
+
+    def prepare_draws(self, dt: DrawTable, n: int, total: int):
+        """Pad the per-draw arrays the device still needs (render-time
+        culling) to MAX_DRAWS."""
         c = self.cfg
 
         def pad_i(a, fill=0, dtype=np.int32):
@@ -279,19 +354,8 @@ class Renderer:
         return dict(
             n_draws=np.int32(n),
             total_splats=np.int32(total),
-            stream_offset=np.int32(0),
-            starts_rev=starts_rev.astype(np.int32),
-            stream_start=pad_i(dt.stream_start, -1),
-            stream_count=pad_i(counts),
             single_draw=pad_i(dt.single_draw),
-            single_lod_id=pad_i(dt.single_lod_id, -1),
-            single_valid_lod=pad_i(dt.valid_lod_id, -1),
-            changing=pad_i(dt.changing),
-            changing_to_lower=pad_i(dt.changing_to_lower, -1),
             tile_lod=pad_i(dt.tile_lod),
-            tile_id=pad_i(dt.tile_id),
-            view_id=pad_i(dt.view_id),
-            map_index=pad_i(dt.map_index),
             has_corners=pad_i(dt.has_corners),
             corner_pos=corner,
         )
@@ -303,7 +367,8 @@ class Renderer:
 
     @staticmethod
     def pack_frame_uniforms(scene: SceneParams, cam: CameraUniforms,
-                            lod_enable, culling_dist: float) -> np.ndarray:
+                            lod_enable, culling_dist: float,
+                            render_gs: bool = True) -> np.ndarray:
         v = np.zeros(Renderer.UNIFORMS_LEN, np.float32)
         v[0:16] = cam.view.reshape(-1)
         v[16:32] = (OPENGL_TO_WGPU @ cam.projection).reshape(-1)
@@ -327,6 +392,7 @@ class Renderer:
         le = [1.0 if b else 0.0 for b in lod_enable][:16]
         v[89 : 89 + len(le)] = le
         v[105] = culling_dist
+        v[106] = 1.0 if render_gs else 0.0
         return v
 
     @staticmethod
@@ -358,7 +424,8 @@ class Renderer:
         )
         lod_enable = v[89:105].astype(jnp.int32)
         culling_dist = v[105]
-        return scene, cam, lod_enable, culling_dist
+        gs_enable = v[106].astype(jnp.int32)
+        return scene, cam, lod_enable, culling_dist, gs_enable
 
     def scene_dict(self, scene: SceneParams):
         return dict(
@@ -389,18 +456,19 @@ class Renderer:
         )
 
     # ------------------------------------------------------------------ #
-    def _frame_packed(self, store_packed, stream, draw, uniforms, hm4,
-                      skybox_tex, proxy_tex, **statics):
-        scene, cam, lod_enable, culling_dist = self.unpack_frame_uniforms(
-            uniforms
+    def _frame_packed(self, store_packed, panels, stream, draw, uniforms,
+                      hm4, skybox_tex, proxy_tex, **statics):
+        scene, cam, lod_enable, culling_dist, gs_enable = (
+            self.unpack_frame_uniforms(uniforms)
         )
         return self._frame(
-            store_packed, stream, draw, scene, cam, lod_enable, culling_dist,
-            hm4, skybox_tex, proxy_tex, **statics,
+            store_packed, panels, stream, draw, scene, cam, lod_enable,
+            culling_dist, gs_enable, hm4, skybox_tex, proxy_tex, **statics,
         )
 
-    def _frame(self, store_packed, stream, draw, scene, cam,
-               lod_enable, culling_dist, hm4, skybox_tex, proxy_tex, *,
+    def _frame(self, store_packed, panels, stream, draw, scene, cam,
+               lod_enable, culling_dist, gs_enable, hm4, skybox_tex,
+               proxy_tex, *,
                surface_type, draw_mode, point_cloud, use_skybox, use_proxy,
                proxy_opts, max_pairs=None):
         # the projection math needs true f32: default bf16 MXU passes break
@@ -409,16 +477,18 @@ class Renderer:
             c = self.cfg
             image_wh = (c.width, c.height)
             tile_wh = (c.tile_w, c.tile_h)
+            s_pad = stream["blocks"].shape[1] * STREAM_BLOCK
             if max_pairs is None:
-                max_pairs = int(stream["packed"].shape[0] * c.pairs_factor)
+                max_pairs = int(s_pad * c.pairs_factor)
             max_pairs = max((max_pairs // c.chunk) * c.chunk, c.chunk)
 
             keep = project.cull_draws(draw, cam, culling_dist, lod_enable)
             p = project.assemble_and_project(
-                stream["packed"], stream["map_tail"], draw,
+                stream["blocks"], stream["merged"], panels,
                 keep, store_packed, scene, cam, hm4, self.height_map_wh,
                 surface_type=surface_type, draw_mode=draw_mode,
                 image_wh=image_wh, point_cloud=point_cloud,
+                gs_enable=gs_enable, interpret=c.interpret,
             )
             binned = binning.bin_pairs(
                 p, image_wh=image_wh, tile_wh=tile_wh, max_pairs=max_pairs,
@@ -499,25 +569,50 @@ class Renderer:
         return self.stage_vp(dt, vp, culling_dist)
 
     def stage_vp(self, dt: DrawTable, vp=None, culling_dist: float = 1.0):
-        """stage() taking a raw view-projection matrix (builder-thread use)."""
+        """stage() taking a raw view-projection matrix (builder-thread use).
+
+        Uploads per sort: the [5, NB] block plan (~a few hundred KB), the
+        [2, M] merged scratch indices, and the slim draw dict — an order of
+        magnitude less h2d traffic than uploading the assembled stream."""
         c = self.cfg
-        packed, merged_map, starts_rev, counts, total, n = (
-            self.assemble_stream_host(dt, vp, culling_dist)
+        blk = STREAM_BLOCK
+        blocks_np, merged_np, total, n, truncated = self.plan_blocks_host(
+            dt, vp, culling_dist
         )
-        draw_np = self.prepare_draws(dt, n, total, starts_rev, counts)
-        # merged tail: small per-sort upload, grow-only bucket
-        m_pad = _next_pow2(len(merged_map), 1 << 12, c.max_stream)
+        self.last_stream_truncated = truncated
+        if truncated:
+            self.stream_truncated_events = (
+                getattr(self, "stream_truncated_events", 0) + 1
+            )
+            import sys
+
+            print(
+                f"[gswt] warning: stream budget exceeded, dropped {truncated} "
+                f"far splats (max_stream={c.max_stream})",
+                file=sys.stderr,
+            )
+        draw_np = self.prepare_draws(dt, n, total)
+        # grow-only bucketing: every new bucket is a fresh XLA compile of
+        # the whole frame program, so never shrink within a session
+        nb_pad = _next_pow2(
+            max(blocks_np.shape[1], 1), c.min_stream // blk, c.max_stream // blk
+        )
+        nb_pad = max(nb_pad, getattr(self, "_nb_floor", 0))
+        self._nb_floor = nb_pad
+        blocks = np.zeros((5, nb_pad), np.int32)
+        blocks[:, : blocks_np.shape[1]] = blocks_np
+        m_pad = _next_pow2(merged_np.shape[1], 1 << 12, c.max_stream)
         m_pad = max(m_pad, getattr(self, "_mpad_floor", 0))
         self._mpad_floor = m_pad
-        tail = np.zeros(m_pad, np.int32)
-        k = min(len(merged_map), m_pad)
-        tail[:k] = merged_map[:k]
+        merged = np.zeros((2, m_pad), np.int32)
+        k = min(merged_np.shape[1], m_pad)
+        merged[:, :k] = merged_np[:, :k]
         stream = dict(
-            packed=jnp.asarray(packed),
-            map_tail=jnp.asarray(tail),
+            blocks=jnp.asarray(blocks),
+            merged=jnp.asarray(merged),
         )
         draw = {k: jnp.asarray(v) for k, v in draw_np.items()}
-        return dict(stream=stream, draw=draw, s_pad=packed.shape[0])
+        return dict(stream=stream, draw=draw, s_pad=nb_pad * blk)
 
     def render(self, dt: DrawTable, camera: Camera, scene: SceneParams,
                render_config: RenderConfig | None = None, *,
@@ -530,9 +625,6 @@ class Renderer:
             staged = self.stage(dt, camera, rc.culling_dist)
         stream = staged["stream"]
         draw = staged["draw"]
-        if not render_gs:
-            draw = dict(draw)
-            draw["total_splats"] = jnp.int32(0)
         lod_enable = list(rc.lod_enable or [True] * 16)
         proxy_opts = (
             ("height_offset", float(rc.proxy_height)),
@@ -558,11 +650,13 @@ class Renderer:
             fn = self._get_jit(key)
             uniforms = jnp.asarray(
                 self.pack_frame_uniforms(
-                    scene, CameraUniforms(camera), lod_enable, rc.culling_dist
+                    scene, CameraUniforms(camera), lod_enable,
+                    rc.culling_dist, render_gs=render_gs,
                 )
             )
             img, aux = fn(
-                self.store_packed, stream, draw, uniforms, self.hm4, sky, prox,
+                self.store_packed, self.panels, stream, draw, uniforms,
+                self.hm4, sky, prox,
             )
             # one combined d2h: aux + a pixel probe (completion barrier for
             # the whole frame; aux alone is computed before the rasterizer)

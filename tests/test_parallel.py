@@ -34,9 +34,9 @@ from gswt_renderer_tpu.tiles import WangTileEngine
 def scene():
     """A small height-map scene with Edge merging: merged + non-merged draws,
     so stream segment boundaries land inside draws."""
-    # 60 splats/tile: draw sizes are multiples of 30, so the power-of-two
-    # segment boundaries below land strictly inside draws
-    sv = synthetic_scene_vec(n_lod=2, splats_per_tile=60)
+    # 200 splats/tile: blended draws take 2 stream blocks, filtered draws 1,
+    # so shard boundaries land strictly inside some draw (mid-draw split)
+    sv = synthetic_scene_vec(n_lod=2, splats_per_tile=200)
     eng = WangTileEngine(sv)
     ud = UserData.from_ui(
         tile_map_half_wh=(2, 2),
@@ -61,7 +61,7 @@ def scene():
     r = Renderer(
         eng,
         RendererConfig(
-            width=64, height=64, max_draws=128, max_stream=1 << 13,
+            width=64, height=64, max_draws=128, max_stream=1 << 14,
             min_stream=1 << 11, chunk=128,
         ),
     )
@@ -95,13 +95,18 @@ def test_stream_parallel_matches_single_device(scene, shape):
 
 def test_stream_segments_cross_draw_boundaries(scene):
     """Sanity for the premise of the previous test: at sp=4 at least one
-    segment boundary must fall strictly inside a draw."""
+    shard boundary must fall strictly inside a draw (i.e. a draw's blocks
+    span two shards)."""
     staged = scene["staged"]
-    s_pad = staged["stream"]["packed"].shape[0]
-    starts = np.asarray(jax.device_get(staged["draw"]["starts_rev"]))
-    bounds = [s_pad // 4 * k for k in (1, 2, 3)]
-    inside = [b for b in bounds if b not in set(starts.tolist())]
-    assert inside, "all segment boundaries aligned to draws; test is vacuous"
+    blocks = np.asarray(jax.device_get(staged["stream"]["blocks"]))
+    nb = blocks.shape[1]
+    draw_of = blocks[4] * (blocks[3] > 0)  # draw id, 0 for padding
+    bounds = [nb // 4 * k for k in (1, 2, 3)]
+    inside = [
+        b for b in bounds
+        if blocks[3][b] > 0 and draw_of[b - 1] == draw_of[b]
+    ]
+    assert inside, "all shard boundaries aligned to draws; test is vacuous"
 
 
 @pytest.mark.parametrize("shape,cams_per_dev", [((8, 1), 1), ((4, 2), 2), ((2, 4), 3)])

@@ -220,7 +220,7 @@ def test_overflow_reported(engine):
     dt = engine.sort_tiles(cam_pos, camera.view_proj())
     r = Renderer(engine, RendererConfig(width=W, height=H, max_draws=128,
                                         max_stream=1 << 15, min_stream=1 << 12,
-                                        chunk=128, pairs_factor=0.25))
+                                        chunk=128, pairs_factor=0.1))
     r.configure(ud)
     rc = RenderConfig.new(engine.n_tiles[0])
     rc.splat_scale = 4.0  # blow up coverage to overflow the pair budget
