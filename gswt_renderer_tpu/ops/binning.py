@@ -22,12 +22,18 @@ import jax
 import jax.numpy as jnp
 
 
-def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int):
+def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
+              exact: bool = True):
     """p: projection outputs (front-to-back order). Static: image_wh (W,H),
-    tile_wh (tw, th) pixels, max_pairs, chunk.
+    tile_wh (tw, th) pixels, max_pairs, chunk, exact.
 
     Returns dict:
-      table [16, max_pairs] f32 rows: k0..k5, z, 0, r, g, b, a, 0...
+      table — exact: [16, max_pairs] f32 rows k0..k5, z, 0, r, g, b, a, 0...
+              fast:  [5, max_pairs] packed rows cx, cy, qa|qb (bf16 pair),
+              qc|z (bf16 pair), rgba (4xu8); the raster kernel reconstructs
+              k0..k5 from (q, center) — exact algebra, so the only deviation
+              is the bf16/u8 quantization (PARITY.md #8). 5 gathered
+              components instead of 11 on the hottest gather of the frame.
       entry_tile/entry_chunk/entry_start/entry_end/entry_first/entry_last
         [NE] i32 (worklist; NE = max_pairs//chunk + n_tiles)
       n_pairs i32, overflow bool
@@ -77,11 +83,14 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int):
         splat_ids, mode="drop"
     )
     sp = jnp.maximum(jax.lax.cummax(mark), 0)
-    soff = jnp.zeros(max_pairs, jnp.int32).at[scatter_to].max(offs, mode="drop")
-    soff = jax.lax.cummax(soff)
-    # pack bbox into one i32 (x0 8b | y0 8b | nx 8b): ONE 1-component gather
+    # pack bbox into one i32 (x0 8b | y0 8b | nx 8b); the splat's first-pair
+    # offset rides the same gather as a 2nd component (a scatter+cummax for
+    # it would cost ~3x the extra gather component)
     bbox_bits = x0 | (y0 << 8) | (jnp.maximum(nx, 1) << 16)
-    bb = bbox_bits[sp]
+    bo = jnp.stack([bbox_bits, offs], axis=0)
+    bo_rows = bo[:, sp]
+    bb = bo_rows[0]
+    soff = bo_rows[1]
     pair_i = jnp.arange(max_pairs, dtype=jnp.int32)
     k = pair_i - soff
     pair_ok = pair_i < jnp.minimum(total, max_pairs)
@@ -94,29 +103,83 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int):
     # stable sort by tile keeps front-to-back order within each tile;
     # the splat id rides along as payload (no post-sort index gather)
     sorted_key, sorted_sp = jax.lax.sort([key, sp], num_keys=1, is_stable=True)
-
-    # ONE 12-component gather assembles the packed raster table
-    k0, k1, k2, k3, k4, k5 = p["k"]
-    cr, cg, cb, ca = p["color"]
-    zero = jnp.zeros_like(k0)
-    ptab = jnp.stack(
-        [k0, k1, k2, k3, k4, k5, p["z"], zero, cr, cg, cb, ca], axis=0
-    )
-    rows = ptab[:, sorted_sp]
     dead = sorted_key >= n_tiles
-    k5r = jnp.where(dead, -1e30, rows[5])
-    car = jnp.where(dead, 0.0, rows[11])
-    table = jnp.concatenate(
-        [
-            rows[0:5],
-            k5r[None],
-            rows[6:8],
-            rows[8:11],
-            car[None],
-            jnp.zeros((4, max_pairs), jnp.float32),
-        ],
-        axis=0,
-    )
+    bc = jax.lax.bitcast_convert_type
+    cr, cg, cb, ca = p["color"]
+
+    if exact:
+        # ONE 11-component gather assembles the f32 raster table
+        k0, k1, k2, k3, k4, k5 = p["k"]
+        ptab = jnp.stack(
+            [k0, k1, k2, k3, k4, k5, p["z"], cr, cg, cb, ca], axis=0
+        )
+        rows = ptab[:, sorted_sp]
+        k5r = jnp.where(dead, -1e30, rows[5])
+        car = jnp.where(dead, 0.0, rows[10])
+        zero1 = jnp.zeros((1, max_pairs), jnp.float32)
+        table = jnp.concatenate(
+            [
+                rows[0:5],
+                k5r[None],
+                rows[6:7],
+                zero1,
+                rows[7:10],
+                car[None],
+                jnp.zeros((4, max_pairs), jnp.float32),
+            ],
+            axis=0,
+        )
+    else:
+        # packed 5-row table: a bf16 is the top 16 bits of its f32
+        def bf16_hi(x):
+            return bc(x.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+
+        qa, qb, qc = p["q"]
+        qab = bc((bf16_hi(qa) << 16) | bf16_hi(qb), jnp.float32)
+        qcz = bc((bf16_hi(qc) << 16) | bf16_hi(p["z"]), jnp.float32)
+
+        def u8(x):
+            return jnp.round(
+                jnp.clip(jnp.nan_to_num(x), 0.0, 1.0) * 255.0
+            ).astype(jnp.uint32)
+
+        rgba = bc(
+            u8(cr) | (u8(cg) << 8) | (u8(cb) << 16) | (u8(ca) << 24),
+            jnp.float32,
+        )
+        ptab = jnp.stack([p["cx"], p["cy"], qab, qcz, rgba], axis=0)
+        rows = ptab[:, sorted_sp]
+        # unpack + reconstruct the monomial k-form POST-gather: a handful of
+        # fused element passes over the pair arrays (~BW-free), so the
+        # raster kernel consumes the same aligned 16-row f32 table as exact
+        # mode (a 5-row kernel block mis-tiles VMEM's (8,128) and cost
+        # +30ms/frame in kernel DMA)
+        cxg = rows[0]
+        cyg = rows[1]
+        u2 = bc(rows[2], jnp.int32)
+        u3 = bc(rows[3], jnp.int32)
+        u4 = bc(jnp.where(dead, 0.0, rows[4]), jnp.int32)
+        hi = jnp.int32(-65536)  # 0xFFFF0000
+        qag = bc(u2 & hi, jnp.float32)
+        qbg = bc(u2 << 16, jnp.float32)
+        qcg = bc(u3 & hi, jnp.float32)
+        zg = bc(u3 << 16, jnp.float32)
+        inv255 = jnp.float32(1.0 / 255.0)
+        rg = (u4 & 0xFF).astype(jnp.float32) * inv255
+        gg = ((u4 >> 8) & 0xFF).astype(jnp.float32) * inv255
+        bg = ((u4 >> 16) & 0xFF).astype(jnp.float32) * inv255
+        ag = ((u4 >> 24) & 0xFF).astype(jnp.float32) * inv255
+        av = qag * cxg + qbg * cyg
+        bv = qbg * cxg + qcg * cyg
+        k5g = jnp.where(dead, -1e30, -(cxg * av + cyg * bv))
+        table = jnp.stack(
+            [
+                -qag, -2.0 * qbg, -qcg, 2.0 * av, 2.0 * bv, k5g,
+                zg, jnp.zeros_like(zg), rg, gg, bg, ag,
+            ]
+            + [jnp.zeros_like(zg)] * 4,
+            axis=0,
+        )
 
     # per-tile ranges in the sorted array
     tile_idx = jnp.arange(n_tiles, dtype=jnp.int32)

@@ -34,19 +34,58 @@ def block_gather(table, src_blocks, *, block: int = BLOCK,
     assert n % block == 0, (n, block)
     nb = src_blocks.shape[0]
 
-    def kern(src_ref, tab_ref, out_ref):
-        del src_ref
-        out_ref[:] = tab_ref[:]
+    if interpret:
+        # the interpreter has no DMA engine model; a plain blocked copy is
+        # semantically identical
+        def kern(src_ref, tab_ref, out_ref):
+            del src_ref
+            out_ref[:] = tab_ref[:]
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[pl.BlockSpec((k, block), lambda g, src: (0, src[g]))],
+            out_specs=pl.BlockSpec((k, block), lambda g, src: (0, g)),
+        )
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((k, nb * block), table.dtype),
+            grid_spec=grid_spec,
+            interpret=True,
+        )(src_blocks.astype(jnp.int32), table)
+
+    # TPU: issue GROUP panel copies per grid step as direct HBM->HBM DMAs —
+    # the per-grid-step overhead dominates a one-panel-per-step pipeline
+    group = next(g for g in (8, 4, 2, 1) if nb % g == 0)
+
+    def kern(src_ref, tab_ref, out_ref, sems):
+        g = pl.program_id(0)
+        for i in range(group):
+            b = g * group + i
+            s0 = src_ref[b] * block
+            pltpu.make_async_copy(
+                tab_ref.at[:, pl.ds(s0, block)],
+                out_ref.at[:, pl.ds(b * block, block)],
+                sems.at[i],
+            ).start()
+        for i in range(group):
+            b = g * group + i
+            s0 = src_ref[b] * block
+            pltpu.make_async_copy(
+                tab_ref.at[:, pl.ds(s0, block)],
+                out_ref.at[:, pl.ds(b * block, block)],
+                sems.at[i],
+            ).wait()
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nb,),
-        in_specs=[pl.BlockSpec((k, block), lambda g, src: (0, src[g]))],
-        out_specs=pl.BlockSpec((k, block), lambda g, src: (0, g)),
+        grid=(nb // group,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((group,))],
     )
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((k, nb * block), table.dtype),
         grid_spec=grid_spec,
-        interpret=interpret,
     )(src_blocks.astype(jnp.int32), table)

@@ -126,7 +126,7 @@ def _sphere_uv_to_pos(u, v):
 
 
 def surface_mapping(scene, hm4, hm_wh, px, py, map_id, single,
-                    mc_x, mc_y, surface_type: int):
+                    mc_x, mc_y, surface_type: int, exact: bool = True):
     """gswt.wgsl:565-623, componentized. Returns (mx, my, mz) mapped surface
     point and the local frame as 9 [S] arrays in order
     (lx_x, lx_y, lx_z, ly_x, ly_y, ly_z, lz_x, lz_y, lz_z)."""
@@ -144,16 +144,43 @@ def surface_mapping(scene, hm4, hm_wh, px, py, map_id, single,
         hy = (2.0 * half[1] + 1.0) * tw * hms[1]
         hu = (px + half[0] * tw) / hx
         hv = (py + half[1] * tw) / hy
-        dt = 0.001
         w, h = int(hm_wh[0]), int(hm_wh[1])
         z = hms[2]
-        height = _bilinear_wrap4(hm4, w, h, hu, hv) * z
-        h_r = _bilinear_wrap4(hm4, w, h, hu + dt, hv) * z
-        h_l = _bilinear_wrap4(hm4, w, h, hu - dt, hv) * z
-        h_u = _bilinear_wrap4(hm4, w, h, hu, hv + dt) * z
-        h_d = _bilinear_wrap4(hm4, w, h, hu, hv - dt) * z
-        gx = (h_r - h_l) / (2.0 * dt * hx)  # local_x = (1, 0, gx)
-        gy = (h_u - h_d) / (2.0 * dt * hy)  # local_y = (0, 1, gy)
+        if exact:
+            # reference gradient: central differences of the bilinear
+            # interpolant at +-0.001 uv (gswt.wgsl:569-574) — 5 taps
+            dt = 0.001
+            height = _bilinear_wrap4(hm4, w, h, hu, hv) * z
+            h_r = _bilinear_wrap4(hm4, w, h, hu + dt, hv) * z
+            h_l = _bilinear_wrap4(hm4, w, h, hu - dt, hv) * z
+            h_u = _bilinear_wrap4(hm4, w, h, hu, hv + dt) * z
+            h_d = _bilinear_wrap4(hm4, w, h, hu, hv - dt) * z
+            gx = (h_r - h_l) / (2.0 * dt * hx)  # local_x = (1, 0, gx)
+            gy = (h_u - h_d) / (2.0 * dt * hy)  # local_y = (0, 1, gy)
+        else:
+            # fast mode (PARITY.md #8): analytic gradient of the bilinear
+            # patch from the SAME 4 texels as the height tap — 1 gather
+            # instead of 5 (the taps were the #2 device cost at 1080p).
+            # The reference's +-0.001-uv central difference spans ~1 texel
+            # on the bicubic-upsampled 1024^2 map, so it is a smoothed
+            # version of this exact per-patch derivative.
+            x = hu * w - 0.5
+            y = hv * h - 0.5
+            x0f = jnp.floor(x)
+            y0f = jnp.floor(y)
+            tx = x - x0f
+            ty = y - y0f
+            base = (y0f.astype(jnp.int32) % h) * w + (x0f.astype(jnp.int32) % w)
+            t4 = hm4[:, base]
+            i00, i10, i01, i11 = t4[0], t4[1], t4[2], t4[3]
+            height = (
+                (i00 * (1 - tx) + i10 * tx) * (1 - ty)
+                + (i01 * (1 - tx) + i11 * tx) * ty
+            ) * z
+            dhdx = (i10 - i00) * (1 - ty) + (i11 - i01) * ty
+            dhdy = (i01 - i00) * (1 - tx) + (i11 - i10) * tx
+            gx = dhdx * z * w / hx
+            gy = dhdy * z * h / hy
         n = jnp.sqrt(gx * gx + gy * gy + 1.0)
         return (px, py, height), (
             ones, zeros, gx,
@@ -244,7 +271,8 @@ def assemble_and_project(blocks, merged, panels, keep_draw, store_packed,
                          scene, cam, hm4, hm_wh, *, surface_type: int,
                          draw_mode: int, image_wh,
                          point_cloud: bool = False,
-                         gs_enable=None, interpret: bool = False):
+                         gs_enable=None, interpret: bool = False,
+                         exact: bool = True):
     """Assemble the front-to-back splat stream from 256-wide panels and
     project it (vs_main math, gswt.wgsl:27-422).
 
@@ -278,11 +306,12 @@ def assemble_and_project(blocks, merged, panels, keep_draw, store_packed,
     gs_m = mp & ((1 << GS_BITS) - 1)
     srows_m = store_packed[:, gs_m]  # [10, M]
     scratch = jnp.concatenate(
-        [srows_m, bc(mp, jnp.float32)[None], bc(merged[1], jnp.float32)[None]],
+        [srows_m, bc(mp, jnp.float32)[None], bc(merged[1], jnp.float32)[None],
+         jnp.zeros((panels.shape[0] - 12, mp.shape[0]), jnp.float32)],
         axis=0,
-    )  # [12, M]
+    )  # [16, M] (rows 12+ pad; see render/pipeline.py PANEL_ROWS)
     combined = jnp.concatenate([panels, scratch], axis=1)
-    params = block_gather(combined, blocks[0], interpret=interpret)  # [12, S]
+    params = block_gather(combined, blocks[0], interpret=interpret)
 
     pos_x, pos_y, pos_z = params[0], params[1], params[2]
     va0, vb0, vc0, vd0, ve0, vf0 = (params[3 + t] for t in range(6))
@@ -349,7 +378,7 @@ def assemble_and_project(blocks, merged, panels, keep_draw, store_packed,
     # surface mapping (gswt.wgsl:74-82)
     (mx, my, mz), fr = surface_mapping(
         scene, hm4, hm_wh, cx_w, cy_w, mid.astype(jnp.uint32), single,
-        mc_x, mc_y, surface_type
+        mc_x, mc_y, surface_type, exact=exact
     )
     fxx, fxy, fxz, fyx, fyy, fyz, fzx, fzy, fzz = fr
     if surface_type > 0:
@@ -536,12 +565,20 @@ def assemble_and_project(blocks, merged, panels, keep_draw, store_packed,
     q_a = 4.0 * (mjx * mjx / m2s**2 + mnx * mnx / n2s**2)
     q_b = 4.0 * (mjx * mjy / m2s**2 + mnx * mny / n2s**2)
     q_c = 4.0 * (mjy * mjy / m2s**2 + mny * mny / n2s**2)
-    k0 = -q_a
-    k1 = -2.0 * q_b
-    k2 = -q_c
-    k3 = 2.0 * q_a * cx_px + 2.0 * q_b * cy_px
-    k4 = 2.0 * q_b * cx_px + 2.0 * q_c * cy_px
-    k5 = -(q_a * cx_px * cx_px + 2.0 * q_b * cx_px * cy_px + q_c * cy_px * cy_px)
+    if exact:
+        # monomial exponent coefficients (the oracle/WGSL form); the fast
+        # path reconstructs these inside the raster kernel from (q, center)
+        # — an exact algebraic identity — so only 5 packed rows travel
+        # through the pair gather (ops/binning.py)
+        k0 = -q_a
+        k1 = -2.0 * q_b
+        k2 = -q_c
+        k3 = 2.0 * q_a * cx_px + 2.0 * q_b * cy_px
+        k4 = 2.0 * q_b * cx_px + 2.0 * q_c * cy_px
+        k5 = -(q_a * cx_px * cx_px + 2.0 * q_b * cx_px * cy_px
+               + q_c * cy_px * cy_px)
+    else:
+        k0 = k1 = k2 = k3 = k4 = k5 = None
 
     # tight pixel bbox of the coverage ellipse (the quad corners over-cover
     # by up to sqrt(2)): o(theta) = cos(t)*maj + sin(t)*min in double-pixel
@@ -550,8 +587,12 @@ def assemble_and_project(blocks, merged, panels, keep_draw, store_packed,
     ext_y = jnp.sqrt(mjy * mjy + mny * mny)
 
     valid &= jnp.isfinite(cx_px) & jnp.isfinite(cy_px)
-    for k in (k0, k1, k2, k3, k4, k5):
-        valid &= jnp.isfinite(k)
+    if exact:
+        for k in (k0, k1, k2, k3, k4, k5):
+            valid &= jnp.isfinite(k)
+    else:
+        for q in (q_a, q_b, q_c):
+            valid &= jnp.isfinite(q)
 
     vf32 = valid.astype(jnp.float32)
     return dict(
@@ -559,7 +600,8 @@ def assemble_and_project(blocks, merged, panels, keep_draw, store_packed,
         cx=cx_px,
         cy=cy_px,
         z=z_ndc,
-        k=(k0, k1, k2, k3, k4, k5),
+        k=(k0, k1, k2, k3, k4, k5) if exact else None,
+        q=(q_a, q_b, q_c),
         color=(cr * vf32, cg * vf32, cb * vf32, ca * vf32),
         ext_x=ext_x,
         ext_y=ext_y,

@@ -94,17 +94,21 @@ def _raster_kernel(
     @pl.when(jnp.max(t_carry) >= MIN_T)
     def _():
         table = table_ref[:]  # (16, C): k0..k5, z, 0, r, g, b, a
+        ktab = table[0:8]
+        rgb1 = jnp.concatenate(
+            [table[8:11], jnp.ones((1, chunk), jnp.float32)], axis=0
+        )
+        z = table[6, :][:, None]  # (C,1)
+        alpha = table[11, :][:, None]  # (C,1)
         feats = _pixel_features((ty, tx), tw, th)  # (8, P)
         # full f32 precision: the monomials reach ~4e6 at 1080p and the MXU's
         # default bf16 passes would corrupt the exponent by O(1)
         expnt = jax.lax.dot_general(
-            table[0:8], feats,
+            ktab, feats,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )  # (C, P)
-        z = table[6, :][:, None]  # (C,1)
-        alpha = table[11, :][:, None]  # (C,1)
         depth = depth_ref[0]  # (1,P)
         # range mask: pairs outside this tile's run in the sorted table
         slot = e_chunk[g] * chunk + jax.lax.broadcasted_iota(
@@ -119,9 +123,6 @@ def _raster_kernel(
             [jnp.ones((1, p_n), jnp.float32), t_incl[:-1, :]], axis=0
         )
         weight = gmat * t_excl * t_carry  # (C,P)
-        rgb1 = jnp.concatenate(
-            [table[8:11], jnp.ones((1, chunk), jnp.float32)], axis=0
-        )  # (4,C)
         contrib = jax.lax.dot_general(
             rgb1, weight,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -154,12 +155,13 @@ def rasterize_pallas(binned, depth_tiles, *, image_wh, tile_wh, chunk: int,
     ne = binned["entry_tf"].shape[0]
 
     kernel = functools.partial(_raster_kernel, tw=tw, th=th, ntx=ntx, chunk=chunk)
+    n_rows = binned["table"].shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(ne,),
         in_specs=[
             pl.BlockSpec(
-                (16, chunk),
+                (n_rows, chunk),
                 lambda g, etf, ec, rs, re: (0, ec[g]),
                 memory_space=pltpu.VMEM,
             ),

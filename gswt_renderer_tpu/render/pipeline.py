@@ -46,7 +46,9 @@ def _is_tpu():
 
 
 STREAM_BLOCK = 256  # stream panel width (ops/blockgather.py BLOCK)
-PANEL_ROWS = 12     # pos xyz, cov 6, rgba u32, packed gs|lod, map id
+PANEL_ROWS = 16     # pos xyz, cov 6, rgba u32, packed gs|lod, map id, 4 pad
+# (content is 12 rows; padded to 16 so the panel DMA's row dimension is
+# aligned to the (8,128) VMEM tiling Mosaic requires for raw HBM slices)
 
 
 def _next_pow2(n, lo, hi):
@@ -73,6 +75,11 @@ class RendererConfig:
     min_stream: int = 1 << 14
     pairs_factor: float = 2.0  # max_pairs = stream_bucket * pairs_factor
     interpret: bool | None = None  # None = auto (interpret off on TPU)
+    # exact=True renders bit-matched to the WGSL/oracle math; the default
+    # fast profile packs the pair table (bf16 q + u8 rgba) and uses the
+    # analytic height-map gradient — deviations bounded by ~1-2/255, under
+    # the reference's own 8-bit ROP quantization (PARITY.md #8)
+    exact: bool = False
 
 
 class Renderer:
@@ -489,10 +496,11 @@ class Renderer:
                 surface_type=surface_type, draw_mode=draw_mode,
                 image_wh=image_wh, point_cloud=point_cloud,
                 gs_enable=gs_enable, interpret=c.interpret,
+                exact=c.exact,
             )
             binned = binning.bin_pairs(
                 p, image_wh=image_wh, tile_wh=tile_wh, max_pairs=max_pairs,
-                chunk=c.chunk,
+                chunk=c.chunk, exact=c.exact,
             )
 
             # background + depth

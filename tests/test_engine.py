@@ -111,10 +111,14 @@ def test_engine_resort_in_place_promotes_fast_path():
         # rotate in place via the yaw key: position unchanged (no rebuild
         # trigger) but the view-projection changes every frame
         eng.handle_key("j", True)
-        for _ in range(400):
+        import time as _time
+
+        deadline = _time.time() + 60.0
+        while _time.time() < deadline:
             eng.frame(readback=False)
             if eng.cur_sort is not sort0:
                 break
+            _time.sleep(0.002)  # let the loaded builder thread run
         eng.handle_key("j", False)
         assert eng.cur_sort is not sort0, "re-sort never promoted (stale order)"
         assert eng.cur_sort.scene_id == eng.cur_scene.scene_id

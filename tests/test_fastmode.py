@@ -1,0 +1,100 @@
+"""Fast-profile parity: the default renderer (exact=False) packs the pair
+table to bf16/u8 and uses the analytic height-map gradient (PARITY.md #8).
+Its deviation from the exact WGSL/oracle math must stay bounded by the
+quantization — around the reference's own 8-bit ROP floor — across merged +
+LOD-blended height-map scenes."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from gswt_renderer_tpu.core import Camera, UserData
+from gswt_renderer_tpu.core.config import (
+    RenderConfig,
+    SelectiveMergeType,
+    SurfaceType,
+    TileSortType,
+)
+from gswt_renderer_tpu.io.synth import synthetic_scene_vec
+from gswt_renderer_tpu.refrender import render_oracle
+from gswt_renderer_tpu.render.pipeline import Renderer, RendererConfig
+from gswt_renderer_tpu.render.uniforms import SceneParams, build_frame_inputs
+from gswt_renderer_tpu.tiles import WangTileEngine
+
+W = H = 128
+
+
+def _scene(surface):
+    sv = synthetic_scene_vec(n_lod=2, splats_per_tile=64)
+    eng = WangTileEngine(sv)
+    ud = UserData.from_ui(
+        tile_map_half_wh=(2, 2),
+        height_map_scale=(1.0, 0.25),
+        height_map_wh=(8, 8),
+        lod_max_dist=8.0,
+        surface_type=surface,
+        merge_type=SelectiveMergeType.EDGE,
+        merge_dot_threshold=0.5,
+        merge_topk=20,
+        tile_sort_type=TileSortType.GRAPH,
+        lod_blending=True,
+    )
+    eng.configure(ud)
+    cam_pos = np.array([0.5, -1.0, 3.0], np.float32)
+    eng.build_tiles(cam_pos)
+    camera = Camera(
+        (W, H), cam_pos, (0.3, 8.0, 0.8), (0.0, 0.0, 1.0),
+        np.deg2rad(50.0), 0.1, 200.0,
+    )
+    dt = eng.sort_tiles(cam_pos, camera.view_proj())
+    return eng, ud, dt, camera
+
+
+@pytest.mark.parametrize(
+    "surface", [SurfaceType.HEIGHT_MAP, SurfaceType.NONE]
+)
+def test_fast_profile_within_quantization_budget(surface):
+    eng, ud, dt, camera = _scene(surface)
+    rc = RenderConfig.new(eng.n_tiles[0])
+    fi = build_frame_inputs(eng, dt, camera, rc)
+    ref = render_oracle(fi, W, H)
+    r = Renderer(
+        eng,
+        RendererConfig(
+            width=W, height=H, max_draws=128, max_stream=1 << 14,
+            min_stream=1 << 12, chunk=128, exact=False,
+        ),
+    )
+    assert r.cfg.exact is False  # fast is the default profile
+    r.configure(ud)
+    sp = SceneParams.from_data(ud, eng.center_coord, rc)
+    img = r.render(dt, camera, sp, rc)
+    d = np.abs(img - ref)
+    assert d.max() <= 8.0 / 255.0, f"max dev {d.max():.5f}"
+    assert (d > 2.0 / 255.0).mean() <= 0.005, (
+        f"{(d > 2/255).mean():.4%} of values deviate > 2/255"
+    )
+    assert d.mean() <= 0.5 / 255.0
+
+
+def test_fast_and_exact_agree_structurally():
+    """Fast and exact render the same splats — alpha coverage masks must
+    agree except on quantization-thin fringes."""
+    eng, ud, dt, camera = _scene(SurfaceType.HEIGHT_MAP)
+    rc = RenderConfig.new(eng.n_tiles[0])
+    sp = SceneParams.from_data(ud, eng.center_coord, rc)
+    imgs = {}
+    for exact in (True, False):
+        r = Renderer(
+            eng,
+            RendererConfig(
+                width=W, height=H, max_draws=128, max_stream=1 << 14,
+                min_stream=1 << 12, chunk=128, exact=exact,
+            ),
+        )
+        r.configure(ud)
+        imgs[exact] = r.render(dt, camera, sp, rc)
+    cov_e = imgs[True][..., 3] > 0.02
+    cov_f = imgs[False][..., 3] > 0.02
+    assert (cov_e != cov_f).mean() < 0.002

@@ -53,6 +53,7 @@ def _render_pair(engine, ud, cam_pos, target, rc=None, viewport=(W, H)):
     r = Renderer(
         engine,
         RendererConfig(
+            exact=True,
             width=viewport[0], height=viewport[1], max_draws=128,
             max_stream=1 << 15, min_stream=1 << 12, chunk=128,
         ),
@@ -114,7 +115,7 @@ def test_parity_sphere_surface():
     fi = build_frame_inputs(engine, dt, camera, rc)
     ref = render_oracle(fi, W, H)
     assert ref[..., 3].max() > 0.2, "sphere scene should be visible"
-    r = Renderer(engine, RendererConfig(width=W, height=H, max_draws=128,
+    r = Renderer(engine, RendererConfig(width=W, height=H, max_draws=128, exact=True,
                                         max_stream=1 << 15, min_stream=1 << 12,
                                         chunk=128))
     r.configure(ud)
@@ -153,7 +154,7 @@ def test_parity_merged_draws(engine):
     rc = RenderConfig.new(engine.n_tiles[0])
     fi = build_frame_inputs(engine, dt, camera, rc)
     ref = render_oracle(fi, W, H)
-    r = Renderer(engine, RendererConfig(width=W, height=H, max_draws=128,
+    r = Renderer(engine, RendererConfig(width=W, height=H, max_draws=128, exact=True,
                                         max_stream=1 << 15, min_stream=1 << 12,
                                         chunk=128))
     r.configure(ud)
@@ -218,7 +219,7 @@ def test_overflow_reported(engine):
     camera = Camera((W, H), cam_pos, (2.0, 2.0, 0.0), (0.0, 1.0, 0.0),
                     np.deg2rad(60.0), 0.1, 200.0)
     dt = engine.sort_tiles(cam_pos, camera.view_proj())
-    r = Renderer(engine, RendererConfig(width=W, height=H, max_draws=128,
+    r = Renderer(engine, RendererConfig(width=W, height=H, max_draws=128, exact=True,
                                         max_stream=1 << 15, min_stream=1 << 12,
                                         chunk=128, pairs_factor=0.1))
     r.configure(ud)

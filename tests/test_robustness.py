@@ -29,7 +29,7 @@ def setup():
     )
     eng.configure(ud)
     eng.build_tiles(np.zeros(3, np.float32))
-    r = Renderer(eng, RendererConfig(width=64, height=64, max_draws=32,
+    r = Renderer(eng, RendererConfig(width=64, height=64, max_draws=32, exact=True,
                                      max_stream=1 << 12, min_stream=1 << 10,
                                      chunk=128))
     r.configure(ud)
