@@ -150,6 +150,9 @@ class Engine:
         self.freeze_frame = False   # frozen-frame stepping (state.rs:378-382)
         self.step_frame = False
         self.synchronous = synchronous
+        # device frames kept in flight when not reading back (hides host
+        # dispatch + sync round trips behind device work)
+        self.pipeline_depth = 2
 
         self.wang = WangTileEngine(scene_vec)
         rc = renderer_config or RendererConfig(
@@ -356,6 +359,7 @@ class Engine:
             render_gs=self.render_gs, use_skybox=self.use_skybox,
             use_proxy=self.use_proxy, staged=self._staged,
             as_numpy=readback,
+            pipeline_depth=0 if readback else self.pipeline_depth,
         )
         self.last_image = img
         return img
@@ -389,9 +393,10 @@ class Engine:
         t0 = get_time_milliseconds()
         while not fly_path.finished and frames < max_frames:
             img = self.frame(readback=readback)
-            if img is not None and not readback:
-                jax.block_until_ready(img)
             frames += 1
+        # the wall clock only stops once every in-flight frame is
+        # device-complete (bounded pipelining, not an unbounded dispatch)
+        self.renderer.drain()
         wall = get_time_milliseconds() - t0
         self.camera_control = "keyboard"
         f_avg, f_std = self.frame_time_ma.calc()

@@ -39,17 +39,19 @@ MIN_T = 0.5 / 255.0  # early-exit transmittance (below ROP quantization)
 
 def _pixel_features(tile_xy, tw, th):
     """F matrix (8, th*tw): monomials of pixel-center coordinates for the
-    exponent matmul."""
+    exponent matmul. Built flat (pixel p = y*tw + x, matching
+    tiles_to_image's layout) — a (th, tw)->(P,) reshape is an unsupported
+    Mosaic shape cast when tw < 128."""
     ty, tx = tile_xy
-    ix = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1)
-    iy = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
-    px = (tx * tw + ix).astype(jnp.float32) + 0.5
-    py = (ty * th + iy).astype(jnp.float32) + 0.5
-    px = px.reshape(-1)
-    py = py.reshape(-1)
+    p_n = th * tw
+    i = jax.lax.broadcasted_iota(jnp.int32, (1, p_n), 1)
+    px = (tx * tw + i % tw).astype(jnp.float32) + 0.5
+    py = (ty * th + i // tw).astype(jnp.float32) + 0.5
     one = jnp.ones_like(px)
     zero = jnp.zeros_like(px)
-    return jnp.stack([px * px, px * py, py * py, px, py, one, zero, zero], axis=0)
+    return jnp.concatenate(
+        [px * px, px * py, py * py, px, py, one, zero, zero], axis=0
+    )
 
 
 def _cumprod_inclusive(x):

@@ -67,7 +67,9 @@ def _next_pow2(n, lo, hi):
 class RendererConfig:
     width: int = 1920
     height: int = 1080
-    tile_w: int = 128
+    # 64x32 raster tiles won the 1080p autotune (240ms vs 259 at 128x32 vs
+    # 259 at 32x32: finer tiles cut per-pair pixel work but grow pair count)
+    tile_w: int = 64
     tile_h: int = 32
     chunk: int = 256
     max_draws: int = 16384
@@ -626,8 +628,15 @@ class Renderer:
                render_config: RenderConfig | None = None, *,
                render_gs: bool = True, use_skybox: bool = False,
                use_proxy: bool = False, as_numpy: bool = True,
-               staged=None):
-        """Render one frame; returns [H, W, 4] float32."""
+               staged=None, pipeline_depth: int = 0):
+        """Render one frame; returns [H, W, 4] float32.
+
+        pipeline_depth > 0 keeps up to that many frames in flight and only
+        blocks on the OLDEST one (per-frame aux lands one frame late, and a
+        pair-budget overflow grows the budget for subsequent frames instead
+        of retrying this one — `overflow_frames` counts those). Hides the
+        host dispatch + sync round trips behind device work; the interactive
+        engine and the benchmark use depth 2."""
         rc = render_config or RenderConfig.new(self.engine.n_tiles[0])
         if staged is None:
             staged = self.stage(dt, camera, rc.culling_dist)
@@ -666,6 +675,12 @@ class Renderer:
                 self.store_packed, self.panels, stream, draw, uniforms,
                 self.hm4, sky, prox,
             )
+            if pipeline_depth > 0 and not as_numpy:
+                self._inflight = getattr(self, "_inflight", None) or []
+                self._inflight.append((aux, img, int(key[1])))
+                while len(self._inflight) > pipeline_depth:
+                    self._drain_one()
+                return img
             # one combined d2h: aux + a pixel probe (completion barrier for
             # the whole frame; aux alone is computed before the rasterizer)
             fetched = jax.device_get((aux, img[0, 0, 0]))
@@ -680,3 +695,23 @@ class Renderer:
             self._pairs_hint = int(key[1] * 2)
             self.last_overflow_retries += 1
         return np.asarray(jax.device_get(img)) if as_numpy else img
+
+    def _drain_one(self):
+        """Fetch the oldest in-flight frame's aux (blocks until that frame
+        is device-complete)."""
+        aux, img, bucket = self._inflight.pop(0)
+        fetched = jax.device_get((aux, img[0, 0, 0]))
+        self.last_aux = fetched[0]
+        self._pairs_hint = max(
+            int(self.last_aux["n_pairs"]), getattr(self, "_pairs_hint", 1) or 1
+        )
+        if bool(self.last_aux["overflow"]):
+            # too late to retry this frame (it already rendered truncated);
+            # grow the budget so subsequent frames are complete
+            self._pairs_hint = max(self._pairs_hint, bucket * 2)
+            self.overflow_frames = getattr(self, "overflow_frames", 0) + 1
+
+    def drain(self):
+        """Block until all in-flight pipelined frames are device-complete."""
+        while getattr(self, "_inflight", None):
+            self._drain_one()

@@ -577,17 +577,52 @@ class WangTileEngine:
             or ud.merge_type == SelectiveMergeType.EDGE
         ):
             d_coords = np.array([[0, 0], [0, 1], [1, 1], [1, 0]])
-            corner_mcs = (mcs[:, None, :] + d_coords[None, :, :]).reshape(-1, 2)
             half = np.asarray(ud.tile_map_half_wh)
-            corner_coords = corner_mcs + (self.center_coord - half)[None, :]
-            cpos = np.zeros((corner_coords.shape[0], 3), np.float32)
-            cpos[:, 0] = corner_coords[:, 0] * ud.tile_width
-            cpos[:, 1] = corner_coords[:, 1] * ud.tile_width
-            cpos[:, 2] = np.repeat(self.tile_centers0[tids][:, 2], 4)
-            own_mcs = np.repeat(mcs, 4, axis=0)
-            cp, cw = self.surface_mapping_batch(own_mcs, cpos, True)
-            self.corner_pos = cp.reshape(w, h, 4, 3)
-            self.corner_to_world = cw.reshape(w, h, 4, 3, 3)
+            if ud.surface_type == SurfaceType.SPHERE:
+                # Shared corner lattice (wangtile.rs:1623-1652): the
+                # reference copies corner frames from already-spawned
+                # neighbors so tiles across the 5x2 block seams hold
+                # IDENTICAL corner values even though their own block
+                # mappings disagree there. The spawn-order owner is
+                # path-dependent; the vectorized rebuild uses a canonical
+                # owner instead — the lattice point's lowest (i, j) tile —
+                # which gives the same sharing guarantee deterministically
+                # (PARITY.md #3).
+                li = np.arange(w + 1)
+                lj = np.arange(h + 1)
+                gi, gj = np.meshgrid(li, lj, indexing="ij")
+                own_i = np.minimum(gi, w - 1)
+                own_j = np.minimum(gj, h - 1)
+                own_mcs = np.stack([own_i, own_j], axis=-1).reshape(-1, 2)
+                lat_coords = (
+                    np.stack([gi, gj], axis=-1).reshape(-1, 2)
+                    + (self.center_coord - half)[None, :]
+                )
+                lpos = np.zeros((lat_coords.shape[0], 3), np.float32)
+                lpos[:, 0] = lat_coords[:, 0] * ud.tile_width
+                lpos[:, 1] = lat_coords[:, 1] * ud.tile_width
+                own_tid = self.tile_id[own_mcs[:, 0], own_mcs[:, 1]]
+                lpos[:, 2] = self.tile_centers0[own_tid][:, 2]
+                lp, lw = self.surface_mapping_batch(own_mcs, lpos, True)
+                lp = lp.reshape(w + 1, h + 1, 3)
+                lw = lw.reshape(w + 1, h + 1, 3, 3)
+                ti = mcs[:, 0][:, None] + d_coords[None, :, 0]
+                tj = mcs[:, 1][:, None] + d_coords[None, :, 1]
+                self.corner_pos = lp[ti, tj].reshape(w, h, 4, 3)
+                self.corner_to_world = lw[ti, tj].reshape(w, h, 4, 3, 3)
+            else:
+                # flat/height-map: the mapping is independent of the owner
+                # tile, so per-tile computation is already seam-exact
+                corner_mcs = (mcs[:, None, :] + d_coords[None, :, :]).reshape(-1, 2)
+                corner_coords = corner_mcs + (self.center_coord - half)[None, :]
+                cpos = np.zeros((corner_coords.shape[0], 3), np.float32)
+                cpos[:, 0] = corner_coords[:, 0] * ud.tile_width
+                cpos[:, 1] = corner_coords[:, 1] * ud.tile_width
+                cpos[:, 2] = np.repeat(self.tile_centers0[tids][:, 2], 4)
+                own_mcs = np.repeat(mcs, 4, axis=0)
+                cp, cw = self.surface_mapping_batch(own_mcs, cpos, True)
+                self.corner_pos = cp.reshape(w, h, 4, 3)
+                self.corner_to_world = cw.reshape(w, h, 4, 3, 3)
             c1 = self.corner_pos
             c2 = np.roll(self.corner_pos, -1, axis=2)
             t1z = self.corner_to_world[..., :, 2]

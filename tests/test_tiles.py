@@ -293,6 +293,51 @@ def test_sphere_topology():
     assert np.all(np.abs(r - 20.0) < 3.0)
 
 
+def test_sphere_seam_corners_shared():
+    """Across the 5x2 sphere block seams, adjacent tiles must hold IDENTICAL
+    corner values (wangtile.rs:1623-1652 copies corner frames from spawned
+    neighbors; the vectorized rebuild owns each lattice point canonically —
+    PARITY.md #3)."""
+    sv = synthetic_scene_vec(n_lod=2, splats_per_tile=64)
+    eng = WangTileEngine(sv)
+    ud = UserData.from_ui(
+        tile_map_half_wh=(5, 2),
+        surface_type=SurfaceType.SPHERE,
+        sphere_radius=20.0,
+        merge_type=SelectiveMergeType.EDGE,
+        merge_dot_threshold=0.5,
+        merge_topk=10,
+        tile_sort_type=TileSortType.GRAPH,
+        lod_max_dist=8.0,
+    )
+    eng.configure(ud)
+    eng.build_tiles(np.array([25.0, 0.0, 0.0], np.float32))
+    w, h = ud.tile_map_wh
+    # corner k of tile (i,j) sits at lattice (i+d[k].x, j+d[k].y) with
+    # d = [(0,0),(0,1),(1,1),(1,0)]; tile (i,j)'s corner 3 and tile
+    # (i+1,j)'s corner 0 share lattice (i+1, j) — including across the
+    # block seams at i+1 multiples of w/5
+    mismatches = 0
+    for i in range(w - 1):
+        for j in range(h):
+            a = eng.corner_pos[i, j, 3]
+            b = eng.corner_pos[i + 1, j, 0]
+            if not np.array_equal(a, b):
+                mismatches += 1
+            aw = eng.corner_to_world[i, j, 3]
+            bw = eng.corner_to_world[i + 1, j, 0]
+            if not np.array_equal(aw, bw):
+                mismatches += 1
+    # vertical sharing: corner 1 of (i,j) == corner 0 of (i,j+1)
+    for i in range(w):
+        for j in range(h - 1):
+            if not np.array_equal(
+                eng.corner_pos[i, j, 1], eng.corner_pos[i, j + 1, 0]
+            ):
+                mismatches += 1
+    assert mismatches == 0, f"{mismatches} shared corners disagree"
+
+
 def test_axis_merge_rows(engine):
     _configure(
         engine,
