@@ -566,7 +566,9 @@ class Renderer:
         if hint is None:
             want = int(s_pad * c.pairs_factor)
         else:
-            want = int(hint * 1.4)
+            # 1.15 headroom over the session max: the {p,1.5p} bucket
+            # ladder itself adds 0-50%, and overflow grows the hint anyway
+            want = int(hint * 1.15)
         want = max(want, c.chunk)
         return _next_pow2(want, c.chunk, 1 << 24)
 
