@@ -22,6 +22,118 @@ import jax
 import jax.numpy as jnp
 
 
+def grid_dims(image_wh, tile_wh):
+    """(ntx, nty, n_tiles) with packing-budget validation."""
+    w_img, h_img = image_wh
+    tw, th = tile_wh
+    ntx = -(-w_img // tw)
+    nty = -(-h_img // th)
+    n_tiles = ntx * nty
+    # bbox packs x0/y0/nx into 8 bits each and entry_tf packs the tile id
+    # into 24 bits; reject configs that would silently alias
+    if ntx > 256 or nty > 256:
+        raise ValueError(
+            f"tile grid {ntx}x{nty} exceeds the 256x256 bbox packing budget; "
+            "increase tile_w/tile_h for this resolution"
+        )
+    if n_tiles >= 1 << 24:
+        raise ValueError(f"n_tiles {n_tiles} exceeds the 24-bit worklist packing")
+    return ntx, nty, n_tiles
+
+
+def expand_bboxes(x0, x1, y0, y1, ok, *, ntx, n_tiles, max_pairs: int):
+    """Expand per-primitive tile bboxes (inclusive, pre-clipped to the grid)
+    into (tile, primitive) pairs, sorted by tile with original order kept
+    inside each tile. Returns (sorted_key, sorted_prim, total, overflow)."""
+    nx = jnp.where(ok, x1 - x0 + 1, 0)
+    ny = jnp.where(ok, y1 - y0 + 1, 0)
+    count = nx * ny
+
+    s_n = count.shape[0]
+    offs_incl = jnp.cumsum(count, dtype=jnp.int32)
+    offs = offs_incl - count  # exclusive
+    total = offs_incl[-1]
+    overflow = total > max_pairs
+
+    # pair -> primitive via scatter + cummax (a searchsorted over a
+    # MAX_PAIRS table would lower to ~22 real gathers): scatter each
+    # contributing primitive's id at its first pair slot, forward-fill by
+    # cumulative max (ids increase along the pair axis)
+    scatter_to = jnp.where((count > 0) & (offs < max_pairs), offs, max_pairs)
+    prim_ids = jnp.arange(s_n, dtype=jnp.int32)
+    mark = jnp.full(max_pairs, -1, jnp.int32).at[scatter_to].max(
+        prim_ids, mode="drop"
+    )
+    sp = jnp.maximum(jax.lax.cummax(mark), 0)
+    # pack bbox into one i32 (x0 8b | y0 8b | nx 8b); the primitive's
+    # first-pair offset rides the same gather as a 2nd component (a
+    # scatter+cummax for it would cost ~3x the extra gather component)
+    bbox_bits = x0 | (y0 << 8) | (jnp.maximum(nx, 1) << 16)
+    bo = jnp.stack([bbox_bits, offs], axis=0)
+    bo_rows = bo[:, sp]
+    bb = bo_rows[0]
+    soff = bo_rows[1]
+    pair_i = jnp.arange(max_pairs, dtype=jnp.int32)
+    k = pair_i - soff
+    pair_ok = pair_i < jnp.minimum(total, max_pairs)
+    nx_sp = (bb >> 16) & 0xFF
+    tx = (bb & 0xFF) + k % nx_sp
+    ty = ((bb >> 8) & 0xFF) + k // nx_sp
+    tile = ty * ntx + tx
+    key = jnp.where(pair_ok, tile, n_tiles).astype(jnp.int32)
+
+    # stable sort by tile keeps primitive order within each tile; the
+    # primitive id rides along as payload (no post-sort index gather)
+    sorted_key, sorted_sp = jax.lax.sort([key, sp], num_keys=1, is_stable=True)
+    return sorted_key, sorted_sp, total, overflow
+
+
+def build_worklist(sorted_key, *, n_tiles, max_pairs: int, chunk: int):
+    """Per-tile ranges + the (tile, chunk) worklist for the Pallas grid."""
+    tile_idx = jnp.arange(n_tiles, dtype=jnp.int32)
+    range_start = jnp.searchsorted(sorted_key, tile_idx, side="left").astype(jnp.int32)
+    range_end = jnp.searchsorted(sorted_key, tile_idx, side="right").astype(jnp.int32)
+    length = range_end - range_start
+
+    # worklist: for tile t, chunks floor(rs/C) .. floor((re-1)/C); empty
+    # tiles still get one entry so their output block is zeroed
+    c0 = range_start // chunk
+    c1 = jnp.where(length > 0, (range_end - 1) // chunk, c0)
+    n_entries_tile = jnp.where(length > 0, c1 - c0 + 1, 1)
+    e_offs = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(n_entries_tile, dtype=jnp.int32)]
+    )
+    total_entries = e_offs[-1]
+    ne_max = max_pairs // chunk + n_tiles
+
+    ei = jnp.arange(ne_max, dtype=jnp.int32)
+    t_of_e = jnp.searchsorted(e_offs, ei, side="right").astype(jnp.int32) - 1
+    t_of_e = jnp.clip(t_of_e, 0, n_tiles - 1)
+    live = ei < total_entries
+    rank = ei - e_offs[t_of_e]
+    entry_tile = jnp.where(live, t_of_e, n_tiles - 1).astype(jnp.int32)
+    entry_chunk = jnp.where(live, c0[t_of_e] + rank, 0).astype(jnp.int32)
+    entry_first = live & (rank == 0)
+    entry_last = live & (rank == n_entries_tile[t_of_e] - 1)
+    # pack (tile | first | last) into one i32 prefetch array: SMEM holds at
+    # most ~1 MB of scalar-prefetch data, so the worklist is 2 per-entry
+    # arrays + 2 per-tile range arrays
+    entry_tf = (
+        entry_tile
+        | (entry_first.astype(jnp.int32) << 24)
+        | (entry_last.astype(jnp.int32) << 25)
+    )
+    # dead entries: mask everything via empty range (start == end == 0)
+    r_start = jnp.where(length > 0, range_start, 0).astype(jnp.int32)
+    r_end = jnp.where(length > 0, range_end, 0).astype(jnp.int32)
+    return dict(
+        entry_tf=entry_tf,
+        entry_chunk=entry_chunk,
+        range_start=r_start,
+        range_end=r_end,
+    )
+
+
 def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
               exact: bool = True):
     """p: projection outputs (front-to-back order). Static: image_wh (W,H),
@@ -40,18 +152,7 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
     """
     w_img, h_img = image_wh
     tw, th = tile_wh
-    ntx = -(-w_img // tw)
-    nty = -(-h_img // th)
-    n_tiles = ntx * nty
-    # bbox packs x0/y0/nx into 8 bits each and entry_tf packs the tile id
-    # into 24 bits; reject configs that would silently alias
-    if ntx > 256 or nty > 256:
-        raise ValueError(
-            f"tile grid {ntx}x{nty} exceeds the 256x256 bbox packing budget; "
-            "increase tile_w/tile_h for this resolution"
-        )
-    if n_tiles >= 1 << 24:
-        raise ValueError(f"n_tiles {n_tiles} exceeds the 24-bit worklist packing")
+    ntx, nty, n_tiles = grid_dims(image_wh, tile_wh)
 
     cx, cy = p["cx"], p["cy"]
     ex, ey = p["ext_x"], p["ext_y"]
@@ -63,46 +164,9 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
     y1 = jnp.clip(jnp.floor((cy + ey) / th).astype(jnp.int32), 0, nty - 1)
     onscreen = (cx + ex >= 0) & (cx - ex < w_img) & (cy + ey >= 0) & (cy - ey < h_img)
     ok = valid & onscreen
-    nx = jnp.where(ok, x1 - x0 + 1, 0)
-    ny = jnp.where(ok, y1 - y0 + 1, 0)
-    count = nx * ny
-
-    s_n = count.shape[0]
-    offs_incl = jnp.cumsum(count, dtype=jnp.int32)
-    offs = offs_incl - count  # exclusive
-    total = offs_incl[-1]
-    overflow = total > max_pairs
-
-    # pair -> splat via scatter + cummax (a searchsorted over a MAX_PAIRS
-    # table would lower to ~22 real gathers): scatter each contributing
-    # splat's id and start at its first pair slot, then forward-fill by
-    # cumulative max (ids and starts both increase along the pair axis)
-    scatter_to = jnp.where((count > 0) & (offs < max_pairs), offs, max_pairs)
-    splat_ids = jnp.arange(s_n, dtype=jnp.int32)
-    mark = jnp.full(max_pairs, -1, jnp.int32).at[scatter_to].max(
-        splat_ids, mode="drop"
+    sorted_key, sorted_sp, total, overflow = expand_bboxes(
+        x0, x1, y0, y1, ok, ntx=ntx, n_tiles=n_tiles, max_pairs=max_pairs
     )
-    sp = jnp.maximum(jax.lax.cummax(mark), 0)
-    # pack bbox into one i32 (x0 8b | y0 8b | nx 8b); the splat's first-pair
-    # offset rides the same gather as a 2nd component (a scatter+cummax for
-    # it would cost ~3x the extra gather component)
-    bbox_bits = x0 | (y0 << 8) | (jnp.maximum(nx, 1) << 16)
-    bo = jnp.stack([bbox_bits, offs], axis=0)
-    bo_rows = bo[:, sp]
-    bb = bo_rows[0]
-    soff = bo_rows[1]
-    pair_i = jnp.arange(max_pairs, dtype=jnp.int32)
-    k = pair_i - soff
-    pair_ok = pair_i < jnp.minimum(total, max_pairs)
-    nx_sp = (bb >> 16) & 0xFF
-    tx = (bb & 0xFF) + k % nx_sp
-    ty = ((bb >> 8) & 0xFF) + k // nx_sp
-    tile = ty * ntx + tx
-    key = jnp.where(pair_ok, tile, n_tiles).astype(jnp.int32)
-
-    # stable sort by tile keeps front-to-back order within each tile;
-    # the splat id rides along as payload (no post-sort index gather)
-    sorted_key, sorted_sp = jax.lax.sort([key, sp], num_keys=1, is_stable=True)
     dead = sorted_key >= n_tiles
     bc = jax.lax.bitcast_convert_type
     cr, cg, cb, ca = p["color"]
@@ -181,50 +245,11 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
             axis=0,
         )
 
-    # per-tile ranges in the sorted array
-    tile_idx = jnp.arange(n_tiles, dtype=jnp.int32)
-    range_start = jnp.searchsorted(sorted_key, tile_idx, side="left").astype(jnp.int32)
-    range_end = jnp.searchsorted(sorted_key, tile_idx, side="right").astype(jnp.int32)
-    length = range_end - range_start
-
-    # worklist: for tile t, chunks floor(rs/C) .. floor((re-1)/C); empty
-    # tiles still get one entry so their output block is zeroed
-    c0 = range_start // chunk
-    c1 = jnp.where(length > 0, (range_end - 1) // chunk, c0)
-    n_entries_tile = jnp.where(length > 0, c1 - c0 + 1, 1)
-    e_offs = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(n_entries_tile, dtype=jnp.int32)]
-    )
-    total_entries = e_offs[-1]
-    ne_max = max_pairs // chunk + n_tiles
-
-    ei = jnp.arange(ne_max, dtype=jnp.int32)
-    t_of_e = jnp.searchsorted(e_offs, ei, side="right").astype(jnp.int32) - 1
-    t_of_e = jnp.clip(t_of_e, 0, n_tiles - 1)
-    live = ei < total_entries
-    rank = ei - e_offs[t_of_e]
-    entry_tile = jnp.where(live, t_of_e, n_tiles - 1).astype(jnp.int32)
-    entry_chunk = jnp.where(live, c0[t_of_e] + rank, 0).astype(jnp.int32)
-    entry_first = live & (rank == 0)
-    entry_last = live & (rank == n_entries_tile[t_of_e] - 1)
-    # pack (tile | first | last) into one i32 prefetch array: SMEM holds at
-    # most ~1 MB of scalar-prefetch data, so the worklist is 2 per-entry
-    # arrays + 2 per-tile range arrays
-    entry_tf = (
-        entry_tile
-        | (entry_first.astype(jnp.int32) << 24)
-        | (entry_last.astype(jnp.int32) << 25)
-    )
-    # dead entries: mask everything via empty range (start == end == 0)
-    r_start = jnp.where(length > 0, range_start, 0).astype(jnp.int32)
-    r_end = jnp.where(length > 0, range_end, 0).astype(jnp.int32)
-
+    wl = build_worklist(sorted_key, n_tiles=n_tiles, max_pairs=max_pairs,
+                        chunk=chunk)
     return dict(
         table=table,
-        entry_tf=entry_tf,
-        entry_chunk=entry_chunk,
-        range_start=r_start,
-        range_end=r_end,
+        **wl,
         n_pairs=total,
         overflow=overflow,
         grid_info=(ntx, nty),

@@ -1,25 +1,218 @@
 """Proxy ground pass (proxy.rs + proxy.wgsl), TPU-native formulation.
 
-The reference draws a height-map-displaced grid (either the exact tile-map
-grid or a 2048^2 global grid) before the splats, with depth WRITE enabled
-(proxy.rs:119-125); the splat pass then depth-tests against it
-(renderer.rs:433-437). The surface is the same bilinear height field the
-splat shader samples, so on TPU the pass becomes a per-pixel ray / height
-field intersection: fixed-step march + bisection refinement. This matches
-the displaced-grid raster up to the grid's piecewise-linear approximation
-(documented deviation; the proxy is a distant-terrain stand-in).
+The reference draws two height-map-displaced grids before the splats with
+depth write enabled (proxy.rs:119-125, 396-433): the tile-map grid (one
+quad per map cell, vertices displaced by the height sampled at mip 0,
+proxy.wgsl:42-97) and a 2048^2 camera-following ground grid; the splat pass
+depth-tests against the result (renderer.rs:433-437). Fragments sample the
+proxy texture's Lanczos mip chain with a trilinear Repeat sampler
+(proxy.rs:324-338).
+
+TPU version (hybrid):
+- the tile-map grid is RASTERIZED exactly: vertex heights sampled from the
+  same bilinear field at mip 0, screen-space linear depth, perspective-
+  correct tex coords, min-z semantics (ops/trirast.py);
+- pixels the map grid does not cover (the far field the reference's 2048^2
+  grid provides, plus near triangles dropped by whole-triangle near-plane
+  clipping) fall back to a per-pixel ray / height-field intersection
+  against the same repeating height field — the piecewise-linear-grid vs
+  exact-surface difference only remains in this far field (PARITY.md #4);
+- both paths sample the mip chain trilinearly with a footprint from
+  screen-space uv derivatives, matching the reference's sampler.
 
 Outputs: color [H,W,4] and the wgpu-remapped depth [H,W] consumed by the
-rasterizer's per-splat depth test.
+splat rasterizer's per-splat depth test.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from .project import _bilinear_wrap, _bilinear_wrap4
+from .project import _bilinear_wrap4
 from .skybox import pixel_rays
+from .trirast import rasterize_triangles, tiles_to_maps, triangle_planes
+
+
+# ------------------------------------------------------------------ #
+# mip atlas: all levels of the rgb 4-neighborhood pack in one table
+# ------------------------------------------------------------------ #
+def pack_mip_atlas(mips):
+    """mips: list of [H,W,3] levels -> (atlas [4, total] f32 numpy holding
+    u8 rgb packed in u32, meta tuple of (w, h, offset) per level). Rows are
+    the 4-neighborhood (x,y),(x+1,y),(x,y+1),(x+1,y+1) with wrap — each
+    bilinear tap is ONE 4-component gather. u8 quantization is lossless vs
+    the u8-sourced textures (and under the fast-profile budget for the
+    float mip levels)."""
+    chunks = []
+    meta = []
+    off = 0
+    for lv in mips:
+        t = np.asarray(lv, np.float32)
+        h, w = t.shape[0], t.shape[1]
+        q = np.clip(np.round(t * 255.0), 0, 255).astype(np.uint32)
+        packed = (q[..., 0] | (q[..., 1] << 8) | (q[..., 2] << 16)).astype(
+            np.uint32
+        )
+        rows = [
+            packed,
+            np.roll(packed, -1, axis=1),
+            np.roll(packed, -1, axis=0),
+            np.roll(np.roll(packed, -1, axis=0), -1, axis=1),
+        ]
+        chunks.append(
+            np.stack([r.reshape(-1) for r in rows], axis=0).view(np.float32)
+        )
+        meta.append((w, h, off))
+        off += w * h
+    return np.concatenate(chunks, axis=1), tuple(meta)
+
+
+def _select_level(meta, lvl_i):
+    """Per-pixel (w, h, off) via a select chain over the static levels."""
+    w = jnp.full(lvl_i.shape, meta[0][0], jnp.int32)
+    h = jnp.full(lvl_i.shape, meta[0][1], jnp.int32)
+    off = jnp.full(lvl_i.shape, meta[0][2], jnp.int32)
+    for k in range(1, len(meta)):
+        sel = lvl_i == k
+        w = jnp.where(sel, meta[k][0], w)
+        h = jnp.where(sel, meta[k][1], h)
+        off = jnp.where(sel, meta[k][2], off)
+    return w, h, off
+
+
+def _sample_level_rgb(atlas, meta, u, v, lvl_i):
+    w, h, off = _select_level(meta, lvl_i)
+    wf = w.astype(jnp.float32)
+    hf = h.astype(jnp.float32)
+    x = u * wf - 0.5
+    y = v * hf - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    tx = x - x0
+    ty = y - y0
+    base = off + (y0 % h) * w + (x0 % w)
+    t4 = atlas[:, base.reshape(-1)].reshape((4,) + base.shape)
+    u4 = jax.lax.bitcast_convert_type(t4, jnp.int32)
+
+    def bil(i00, i10, i01, i11):
+        return (i00 * (1 - tx) + i10 * tx) * (1 - ty) + (
+            i01 * (1 - tx) + i11 * tx
+        ) * ty
+
+    inv255 = jnp.float32(1.0 / 255.0)
+    return jnp.stack(
+        [
+            bil(*(((u4[k] >> (8 * c)) & 0xFF).astype(jnp.float32) * inv255
+                  for k in range(4)))
+            for c in range(3)
+        ],
+        axis=-1,
+    )
+
+
+def sample_mip_trilinear(atlas, meta, u, v, rho):
+    """Trilinear Repeat sampling of the mip atlas. rho: footprint in
+    level-0 texels per pixel."""
+    n_lv = len(meta)
+    lvl = jnp.clip(
+        jnp.log2(jnp.maximum(rho, 1e-6)), 0.0, float(n_lv - 1)
+    )
+    l0 = jnp.floor(lvl).astype(jnp.int32)
+    frac = (lvl - l0.astype(jnp.float32))[..., None]
+    c0 = _sample_level_rgb(atlas, meta, u, v, l0)
+    c1 = _sample_level_rgb(
+        atlas, meta, u, v, jnp.minimum(l0 + 1, n_lv - 1)
+    )
+    return c0 * (1.0 - frac) + c1 * frac
+
+
+def _uv_footprint(u, v, tex_w, tex_h):
+    """Screen-space footprint (level-0 texels) from uv image derivatives,
+    the GPU's implicit-derivative mip selection."""
+
+    def deriv(img, axis):
+        d = jnp.diff(img, axis=axis)
+        pad = [(0, 0), (0, 0)]
+        pad[axis] = (0, 1)
+        return jnp.pad(d, pad, mode="edge")
+
+    dudx = deriv(u, 1) * tex_w
+    dudy = deriv(u, 0) * tex_w
+    dvdx = deriv(v, 1) * tex_h
+    dvdy = deriv(v, 0) * tex_h
+    return jnp.maximum(
+        jnp.sqrt(dudx * dudx + dvdx * dvdx),
+        jnp.sqrt(dudy * dudy + dvdy * dvdy),
+    )
+
+
+# ------------------------------------------------------------------ #
+# map grid (host-built, static per configure)
+# ------------------------------------------------------------------ #
+def _grid_patch(x_lo, y_lo, nx, ny, cell, hole=None):
+    """One grid patch: verts [2, (nx+1)(ny+1)] + tris [3, 2*cells], with
+    cells inside `hole` (x0, x1, y0, y1 world bounds) skipped."""
+    vi, vj = np.meshgrid(np.arange(nx + 1), np.arange(ny + 1), indexing="ij")
+    verts = np.stack(
+        [x_lo + vi * cell, y_lo + vj * cell], axis=0
+    ).reshape(2, -1).astype(np.float32)
+
+    def vid(i, j):
+        return i * (ny + 1) + j
+
+    ci, cj = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
+    ci = ci.reshape(-1)
+    cj = cj.reshape(-1)
+    if hole is not None:
+        cx = x_lo + (ci + 0.5) * cell
+        cy = y_lo + (cj + 0.5) * cell
+        keep = ~(
+            (cx > hole[0]) & (cx < hole[1]) & (cy > hole[2]) & (cy < hole[3])
+        )
+        ci = ci[keep]
+        cj = cj[keep]
+    # two triangles per cell, matching proxy.rs:226-247's vertex order
+    t1 = np.stack([vid(ci, cj), vid(ci + 1, cj), vid(ci, cj + 1)], axis=0)
+    t2 = np.stack([vid(ci + 1, cj), vid(ci + 1, cj + 1), vid(ci, cj + 1)], axis=0)
+    return verts, np.concatenate([t1, t2], axis=1).astype(np.int32)
+
+
+def make_map_grid(map_wh, map_half_wh, tile_width, far_dist: float = 2400.0):
+    """The proxy mesh: the tile-map grid (proxy.rs:215-258, one quad per
+    map cell) plus concentric clipmap rings standing in for the reference's
+    2048^2 camera-following far grid (proxy.rs:136-166) — each ring doubles
+    the cell size, so screen-space triangle density stays roughly constant
+    out to `far_dist`. Rings overlap their parent by one cell; min-z
+    resolves the seam (no T-junction cracks). Vertex positions are world
+    units RELATIVE to the map center (the center_coord offset is applied on
+    device per frame). Returns (verts [2, Nv] f32, tris [3, T] i32)."""
+    w, h = int(map_wh[0]), int(map_wh[1])
+    hx, hy = int(map_half_wh[0]), int(map_half_wh[1])
+    tw = float(tile_width)
+    parts = [
+        _grid_patch(-hx * tw, -hy * tw, w, h, tw)
+    ]
+    # clipmap rings: extent doubles, cell doubles
+    ext = max(hx, hy) * tw
+    cell = 2.0 * tw
+    while ext < far_dist:
+        outer = ext * 2.0
+        n = int(np.ceil(2.0 * outer / cell))
+        lo = -0.5 * n * cell
+        hole = (-ext + cell, ext - cell, -ext + cell, ext - cell)
+        parts.append(_grid_patch(lo, lo, n, n, cell, hole=hole))
+        ext = outer
+        cell *= 2.0
+    verts = []
+    tris = []
+    base = 0
+    for v, t in parts:
+        verts.append(v)
+        tris.append(t + base)
+        base += v.shape[1]
+    return np.concatenate(verts, axis=1), np.concatenate(tris, axis=1)
 
 
 def _height_at(scene, hm4, hm_wh, x, y):
@@ -35,14 +228,75 @@ def _height_at(scene, hm4, hm_wh, x, y):
     return _bilinear_wrap4(hm4, w, h, hu, hv) * hms[2]
 
 
-def render_proxy(
-    cam, scene, image_wh, hm4, hm_wh, proxy_tex, proxy_wh,
-    *, surface_type: int, height_offset: float, brightness: float,
-    black_background: bool, use_clip: bool, clip_height: float,
+def raster_map_grid(cam, scene, image_wh, hm4, hm_wh, verts, tris,
+                    *, surface_type: int, height_offset: float,
+                    tile_wh, chunk: int, interpret: bool,
+                    max_pairs: int | None = None):
+    """Rasterize the displaced tile-map grid. Returns (z [H,W] wgpu depth,
+    u, v, mapped_h [H,W], hit [H,W], n_pairs, overflow)."""
+    w_img, h_img = image_wh
+    cc = scene["center_coord"].astype(jnp.float32)
+    tw = scene["tile_width"]
+    rx = verts[0] + cc[0] * tw
+    ry = verts[1] + cc[1] * tw
+    if surface_type == 1:
+        mh = _height_at(scene, hm4, hm_wh, rx, ry)
+    else:
+        mh = jnp.zeros_like(rx)
+    hz = mh + height_offset
+
+    view = cam["view"]
+    proj = cam["proj_wgpu"]
+
+    def mat4(m, x, y, z):
+        return tuple(
+            m[r, 0] * x + m[r, 1] * y + m[r, 2] * z + m[r, 3] for r in range(4)
+        )
+
+    vx, vy, vz, _ = mat4(view, rx, ry, hz)
+    p0, p1, p2, p3 = mat4(proj, vx, vy, vz)
+    wc = jnp.where(jnp.abs(p3) < 1e-9, 1e-9, p3)
+    px = (p0 / wc * 0.5 + 0.5) * w_img
+    py = (0.5 - p1 / wc * 0.5) * h_img
+    pz = p2 / wc
+    uu = rx / tw / 4.0
+    vv = ry / tw / 4.0
+
+    def tri_of(a):
+        return a[tris]  # [3, T]
+
+    attrs = jnp.stack([tri_of(uu), tri_of(vv), tri_of(mh)], axis=0)
+    planes, ok, bbox = triangle_planes(
+        tri_of(px), tri_of(py), tri_of(pz), tri_of(p3), attrs,
+        jnp.ones(tris.shape[1], bool),
+    )
+    if max_pairs is None:
+        n_t = tris.shape[1]
+        max_pairs = max(1 << 12, 1 << int(np.ceil(np.log2(max(n_t, 1)))))
+    rast = rasterize_triangles(
+        planes, bbox, ok, image_wh=image_wh, tile_wh=tile_wh,
+        max_pairs=max_pairs, chunk=chunk, interpret=interpret,
+    )
+    z, at = tiles_to_maps(rast["tiles"], image_wh=image_wh, tile_wh=tile_wh)
+    invw = at[0]
+    hit = (z < 1.0) & (invw > 1e-12)
+    invw_s = jnp.where(invw <= 1e-12, 1.0, invw)
+    u_px = at[1] / invw_s
+    v_px = at[2] / invw_s
+    mh_px = at[3] / invw_s
+    return z, u_px, v_px, mh_px, hit, rast["n_pairs"], rast["overflow"]
+
+
+# ------------------------------------------------------------------ #
+# far-field ray march (stands in for the reference's 2048^2 ground grid)
+# ------------------------------------------------------------------ #
+def march_height_field(
+    cam, scene, image_wh, hm4, hm_wh,
+    *, surface_type: int, height_offset: float,
     n_steps: int = 96, n_refine: int = 8, max_dist: float = 2400.0,
 ):
-    """Ray-march the proxy height surface. Returns (color [H,W,4],
-    depth [H,W] in wgpu [0,1] clip z, hit mask [H,W])."""
+    """Ray-march the proxy height surface. Returns (z [H,W] wgpu depth,
+    u, v, mapped_h [H,W], hit [H,W])."""
     w_img, h_img = image_wh
     rays = pixel_rays(cam, image_wh)
     d = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
@@ -53,7 +307,6 @@ def render_proxy(
             return _height_at(scene, hm4, hm_wh, x, y) + height_offset
         return jnp.full_like(x, height_offset)
 
-    # signed height above surface along the ray
     def f(t):
         p = o[None, None, :] + d * t[..., None]
         return p[..., 2] - surf_h(p[..., 0], p[..., 1])
@@ -73,7 +326,6 @@ def render_proxy(
         return (tt, t_hit, above), t_lo
 
     (t_last, t_hit, _), t_los = jax.lax.scan(march, (t_prev, t_hit, above_prev), ts)
-    # recover the bracket low point for each pixel (first crossing)
     t_lo = jnp.max(t_los, axis=0)
     hit = jnp.isfinite(t_hit)
     t_hi = jnp.where(hit, t_hit, max_dist)
@@ -88,34 +340,69 @@ def render_proxy(
     t = 0.5 * (t_lo + t_hi)
     p = o[None, None, :] + d * t[..., None]
 
-    # z clip discard (proxy.wgsl:100-102) tests the mapped height
     mapped_h = surf_h(p[..., 0], p[..., 1]) - height_offset
-    if use_clip:
-        hit = hit & ~(mapped_h < clip_height)
 
-    # depth: wgpu clip z of the hit point
     view = cam["view"]
     proj = cam["proj_wgpu"]
     cam3 = p @ view[:3, :3].T + view[:3, 3]
     z_clip = cam3 @ proj[2, :3] + proj[2, 3]
     w_clip = cam3 @ proj[3, :3] + proj[3, 3]
-    depth = jnp.where(hit, z_clip / w_clip, 1.0)
-    depth = jnp.clip(depth, 0.0, 1.0)
+    z = jnp.where(hit, jnp.clip(z_clip / w_clip, 0.0, 1.0), 1.0)
+
+    tw = scene["tile_width"]
+    u = p[..., 0] / tw / 4.0
+    v = p[..., 1] / tw / 4.0
+    return z, u, v, mapped_h, hit
+
+
+# ------------------------------------------------------------------ #
+def render_proxy(
+    cam, scene, image_wh, hm4, hm_wh, proxy, proxy_wh,
+    *, surface_type: int, height_offset: float, brightness: float,
+    black_background: bool, use_clip: bool, clip_height: float,
+    mip_meta=None, tile_wh=(64, 32), chunk: int = 128,
+    interpret: bool = False, use_grid: bool = True,
+    n_steps: int = 96, max_dist: float = 2400.0,
+    proxy_pairs: int | None = None,
+):
+    """Hybrid proxy pass. proxy: dict(atlas [12, total], verts [2, Nv],
+    tris [3, T]) with mip_meta the static per-level (w, h, off) tuple.
+    Returns (color [H,W,4], depth [H,W] wgpu clip z, hit [H,W], aux)."""
+    w_img, h_img = image_wh
+    if use_grid:
+        # map grid + far clipmap rings rasterized together (the march costs
+        # ~1.5 s at 1080p: 96 height-field taps per pixel)
+        z, u, v, mh, hit, npx, ovf = raster_map_grid(
+            cam, scene, image_wh, hm4, hm_wh, proxy["verts"], proxy["tris"],
+            surface_type=surface_type, height_offset=height_offset,
+            tile_wh=tile_wh, chunk=chunk, interpret=interpret,
+            max_pairs=proxy_pairs,
+        )
+        aux = dict(proxy_pairs=npx, proxy_overflow=ovf)
+    else:
+        z, u, v, mh, hit = march_height_field(
+            cam, scene, image_wh, hm4, hm_wh,
+            surface_type=surface_type, height_offset=height_offset,
+            n_steps=n_steps, max_dist=max_dist,
+        )
+        aux = dict(
+            proxy_pairs=jnp.int32(0), proxy_overflow=jnp.asarray(False)
+        )
+
+    # fragment clip discard (proxy.wgsl:100-102)
+    if use_clip:
+        hit = hit & ~(mh < clip_height)
+    depth = jnp.where(hit, z, 1.0)
 
     if black_background:
         rgb = jnp.zeros((h_img, w_img, 3), jnp.float32)
     else:
-        # tex_coords = pos / tile_width / 4 (proxy.wgsl:92), wrap+bilinear
-        tw = scene["tile_width"]
-        u = p[..., 0] / tw / 4.0
-        v = p[..., 1] / tw / 4.0
-        pw, ph = int(proxy_wh[0]), int(proxy_wh[1])
-        r = _bilinear_wrap(proxy_tex[..., 0].reshape(-1), pw, ph, u, v)
-        g = _bilinear_wrap(proxy_tex[..., 1].reshape(-1), pw, ph, u, v)
-        b = _bilinear_wrap(proxy_tex[..., 2].reshape(-1), pw, ph, u, v)
-        rgb = jnp.stack([r, g, b], axis=-1) * brightness
+        meta = mip_meta or ((int(proxy_wh[0]), int(proxy_wh[1]), 0),)
+        rho = _uv_footprint(u, v, float(meta[0][0]), float(meta[0][1]))
+        rgb = sample_mip_trilinear(proxy["atlas"], meta, u, v, rho)
+        rgb = rgb * brightness
     color = jnp.concatenate(
         [rgb, jnp.ones((h_img, w_img, 1), jnp.float32)], axis=-1
     )
     color = jnp.where(hit[..., None], color, 0.0)
-    return color, depth, hit
+    return color, depth, hit, aux

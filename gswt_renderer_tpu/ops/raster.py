@@ -93,7 +93,8 @@ def _raster_kernel(
 
     t_carry = trans_ref[0:1, :]  # (1, P)
 
-    @pl.when(jnp.max(t_carry) >= MIN_T)
+    # skip saturated tiles (early exit) and dead worklist entries
+    @pl.when((jnp.max(t_carry) >= MIN_T) & (r_start[tile] < r_end[tile]))
     def _():
         table = table_ref[:]  # (16, C): k0..k5, z, 0, r, g, b, a
         ktab = table[0:8]

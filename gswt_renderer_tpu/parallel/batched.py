@@ -87,7 +87,11 @@ def render_cameras_sharded(renderer, staged, scene_params, cam_batch, mesh,
         proxy_opts={},
     )
     sky = jnp.zeros((1, 1, 3))
-    prox = jnp.zeros((1, 1, 3))
+    prox = dict(
+        atlas=jnp.zeros((12, 1), jnp.float32),
+        verts=jnp.zeros((2, 4), jnp.float32),
+        tris=jnp.zeros((3, 2), jnp.int32),
+    )
 
     def per_device(cams_local):
         def body(carry, cam):
@@ -144,7 +148,11 @@ def render_stream_sharded(renderer, staged, scene_params, camera, mesh,
         proxy_opts={},
     )
     sky = jnp.zeros((1, 1, 3))
-    prox = jnp.zeros((1, 1, 3))
+    prox = dict(
+        atlas=jnp.zeros((12, 1), jnp.float32),
+        verts=jnp.zeros((2, 4), jnp.float32),
+        tris=jnp.zeros((3, 2), jnp.int32),
+    )
 
     def per_device(blocks_local):
         # each shard assembles + composites its contiguous block range of

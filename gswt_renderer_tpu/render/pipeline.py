@@ -182,7 +182,8 @@ class Renderer:
 
     # ------------------------------------------------------------------ #
     def configure(self, user_data):
-        """Bind the height map after engine.configure (renderer.rs:351-405)."""
+        """Bind the height map after engine.configure (renderer.rs:351-405)
+        and build the proxy tile-map grid mesh (proxy.rs:215-258)."""
         if user_data.height_map is not None and len(user_data.height_map):
             w, h = user_data.height_map_wh
             self.height_map_wh = (int(w), int(h))
@@ -192,18 +193,36 @@ class Renderer:
         else:
             self.height_map_wh = (1, 1)
             self.hm4 = jnp.zeros((4, 1), jnp.float32)
+        from ..ops.proxy import make_map_grid
+
+        gv, gt = make_map_grid(
+            user_data.tile_map_wh, user_data.tile_map_half_wh,
+            user_data.tile_width,
+        )
+        self.proxy_verts = jnp.asarray(gv)
+        self.proxy_tris = jnp.asarray(gt)
 
     def set_skybox(self, tex, equirect=True):
         self.skybox_tex = jnp.asarray(tex, jnp.float32) if tex is not None else None
         self.skybox_equirect = equirect
 
     def set_proxy(self, tex):
+        """Upload the proxy ground texture. tex: [H,W,3] (the Lanczos mip
+        chain is built here, proxy.rs:513-554) or a prebuilt list of mip
+        levels."""
         if tex is None:
             self.proxy_tex = None
             return
-        t = np.asarray(tex, np.float32)
-        self.proxy_tex = jnp.asarray(t)
-        self.proxy_wh = (t.shape[1], t.shape[0])
+        from ..io.textures import build_mip_chain
+        from ..ops.proxy import pack_mip_atlas
+
+        mips = tex if isinstance(tex, (list, tuple)) else build_mip_chain(
+            np.asarray(tex, np.float32)
+        )
+        atlas, meta = pack_mip_atlas(mips)
+        self.proxy_tex = jnp.asarray(atlas)
+        self.proxy_mip_meta = meta
+        self.proxy_wh = (meta[0][0], meta[0][1])
 
     # ------------------------------------------------------------------ #
     @staticmethod
@@ -512,10 +531,14 @@ class Renderer:
             else:
                 bg = jnp.zeros((c.height, c.width, 4), jnp.float32)
             if use_proxy:
-                pcol, depth, hit = render_proxy(
+                popts = dict(proxy_opts)
+                mip_meta = popts.pop("mip_meta")
+                proxy_pairs = popts.pop("proxy_pairs")
+                pcol, depth, hit, paux = render_proxy(
                     cam, scene, image_wh, hm4, self.height_map_wh,
                     proxy_tex, self.proxy_wh, surface_type=surface_type,
-                    **proxy_opts,
+                    mip_meta=mip_meta, tile_wh=tile_wh, chunk=128,
+                    interpret=c.interpret, proxy_pairs=proxy_pairs, **popts,
                 )
                 bg = jnp.where(hit[..., None], pcol, bg)
             else:
@@ -532,7 +555,11 @@ class Renderer:
             # premultiplied-over: final = gs + T * background
             t_final = 1.0 - img[..., 3:4]
             out = img + t_final * bg
-            return out, dict(n_pairs=binned["n_pairs"], overflow=binned["overflow"])
+            aux = dict(n_pairs=binned["n_pairs"], overflow=binned["overflow"])
+            if use_proxy:
+                aux["overflow"] = aux["overflow"] | paux["proxy_overflow"]
+                aux["proxy_pairs"] = paux["proxy_pairs"]
+            return out, aux
 
     def _get_jit(self, key):
         if key not in self._frame_jit:
@@ -557,6 +584,14 @@ class Renderer:
             )
             self._frame_jit[key] = jax.jit(fn)
         return self._frame_jit[key]
+
+    def _proxy_bucket(self) -> int:
+        """Adaptive proxy-triangle pair budget (same pattern as
+        _pairs_bucket; overflow grows it for subsequent frames)."""
+        hint = getattr(self, "_proxy_hint", None)
+        if hint is None:
+            hint = getattr(self, "proxy_tris", np.zeros((3, 1))).shape[1]
+        return _next_pow2(max(int(hint * 1.3), 1 << 12), 1 << 12, 1 << 22)
 
     def _pairs_bucket(self, s_pad: int) -> int:
         """Adaptive pair budget: bucket on the last observed pair count with
@@ -651,9 +686,19 @@ class Renderer:
             ("black_background", bool(rc.proxy_black_background)),
             ("use_clip", bool(rc.use_clip)),
             ("clip_height", float(rc.clip_height)),
+            ("mip_meta", getattr(self, "proxy_mip_meta", ((1, 1, 0),))),
+            ("proxy_pairs", self._proxy_bucket() if use_proxy else 1 << 12),
         )
         sky = self.skybox_tex if self.skybox_tex is not None else jnp.zeros((1, 1, 3))
-        prox = self.proxy_tex if self.proxy_tex is not None else jnp.zeros((1, 1, 3))
+        prox = dict(
+            atlas=(
+                self.proxy_tex
+                if self.proxy_tex is not None
+                else jnp.zeros((12, 1), jnp.float32)
+            ),
+            verts=getattr(self, "proxy_verts", jnp.zeros((2, 4), jnp.float32)),
+            tris=getattr(self, "proxy_tris", jnp.zeros((3, 2), jnp.int32)),
+        )
         self.last_overflow_retries = 0
         for _attempt in range(3):
             key = (

@@ -80,11 +80,19 @@ def test_proxy_flat_plane_depth():
     cam = Camera((32, 32), (0, 0, 5), (0, 10, 0), (0, 0, 1),
                  np.deg2rad(60.0), 0.1, 100.0)
     hm4 = jnp.zeros((4, 1), jnp.float32)
-    tex = jnp.ones((8, 8, 3), jnp.float32) * 0.5
-    color, depth, hit = render_proxy(
-        _cam_dict(cam), scene, (32, 32), hm4, (1, 1), tex, (8, 8),
+    from gswt_renderer_tpu.ops.proxy import pack_mip_atlas
+
+    atlas, meta = pack_mip_atlas([np.ones((8, 8, 3), np.float32) * 0.5])
+    proxy = dict(
+        atlas=jnp.asarray(atlas),
+        verts=jnp.zeros((2, 4), jnp.float32),
+        tris=jnp.zeros((3, 2), jnp.int32),
+    )
+    color, depth, hit, _ = render_proxy(
+        _cam_dict(cam), scene, (32, 32), hm4, (1, 1), proxy, (8, 8),
         surface_type=0, height_offset=0.0, brightness=1.0,
         black_background=False, use_clip=False, clip_height=0.0,
+        mip_meta=meta, use_grid=False, interpret=True,
         n_steps=64, max_dist=200.0,
     )
     hit = np.asarray(hit)
