@@ -5,7 +5,13 @@ Reproduces the reference's fly-path benchmark harness (gui.rs:955-997) on the
 paper's default configuration (97x97 tile map, tile width 4, Graph tile sort,
 Edge merge topk=100 dot=0.2, LRU 1024, LOD blending; structure.rs:70-99) over
 a synthetic Wang tile set (the official tile sets are produced by the paper's
-offline constructor and are not vendored in the reference repo).
+offline constructor and are not vendored in the reference repo, so absolute
+FPS is generator-dependent). The headline keeps the round-comparable density
+(512 splats/tile, ~2.5M-splat stream); `splats_composited_per_s` in meta is
+the density-robust throughput — measured within ~10% across a 16x density
+sweep (512/tile -> 4.43 fps, 8192/tile 5-lod -> 1.26 fps, both ~12M
+composited pairs/s; `GSWT_BENCH_SPLATS`/`GSWT_BENCH_LODS` override, and
+benchmarks/configs.py carries a dense row).
 
 FPS counts device-complete frames (jax.block_until_ready per frame, no host
 readback): the dev harness tunnels device<->host transfers at ~15 MB/s, which
@@ -40,7 +46,12 @@ def main():
     from gswt_renderer_tpu.render.pipeline import RendererConfig
 
     width, height = 1920, 1080
-    scene_vec = synthetic_scene_vec(n_lod=3, splats_per_tile=512, seed=0)
+    splats = int(os.environ.get("GSWT_BENCH_SPLATS") or 512)
+    n_lod = int(os.environ.get("GSWT_BENCH_LODS") or 3)
+    scene_vec = synthetic_scene_vec(
+        n_lod=n_lod, splats_per_tile=splats,
+        lod_decay=4 if n_lod > 3 else 2, seed=0,
+    )
 
     eng = Engine(
         scene_vec,
@@ -65,7 +76,8 @@ def main():
     eng.configure(ud)
     assert eng.wait_ready(timeout_s=300), "engine did not produce a frame"
 
-    # scripted fly path crossing several tiles with a turn (15 s)
+    # scripted fly path crossing several tiles with a turn, looped out to
+    # 60 s so the timed run covers >= 200 frames
     fp = FlyPathControl()
     kf = [
         (0.0, (0.0, 0.0, 5.0), (0.0, 30.0, 2.0)),
@@ -73,7 +85,9 @@ def main():
         (10.0, (2.0, 40.0, 6.0), (-20.0, 60.0, 1.0)),
         (15.0, (-10.0, 55.0, 5.0), (-30.0, 80.0, 2.0)),
     ]
-    for t, p, tgt in kf:
+    loop = [(t + 15.0 * r, p, tgt) for r in range(4) for (t, p, tgt) in kf
+            if not (r > 0 and t == 0.0)]
+    for t, p, tgt in loop:
         fp.keyframes.append(
             FlyPathFrame(t, np.array(p, np.float32), np.array(tgt, np.float32))
         )
@@ -83,10 +97,11 @@ def main():
     # timed run (a single mid-run recompile would dominate the fly-through)
     fp.reset_path()
     fp.start_path()
-    for t in np.arange(0.0, 15.01, 0.75):
+    for t in np.arange(0.0, 60.01, 2.5):
         fp.handle_events(eng.camera, now_ms=float(t) * 1000.0)
         eng.frame(readback=False)
         time.sleep(0.02)
+    eng.renderer.drain()
     fp.pause_path()
     n_compiles_warm = len(getattr(eng.renderer, "compile_events", []))
 
@@ -95,13 +110,17 @@ def main():
 
     fps = result["fps"]
     aux = eng.renderer.last_aux or {}
+    n_pairs = int(aux.get("n_pairs", 0))
     meta = dict(
         frames=result["frames"],
         frame_ms=round(result["frame_ms"][0], 2),
         sort_ms=round(result["sort_ms"][0], 2),
         build_ms=round(result["build_ms"][0], 2),
         sort_trigger=round(result["sort_trigger"], 3),
-        n_pairs=int(aux.get("n_pairs", 0)),
+        n_pairs=n_pairs,
+        splats_per_tile=splats,
+        # compositor throughput: (tile,splat) pairs composited per second
+        splats_composited_per_s=round(n_pairs * fps / 1e6, 1),
         setup_s=round(time.time() - t_start - result["wall_ms"] / 1e3, 1),
         recompiles_in_run=len(getattr(eng.renderer, "compile_events", []))
         - n_compiles_warm,

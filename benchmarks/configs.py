@@ -104,14 +104,63 @@ def main():
     ms, k = _time_frames(eng, moves)
     emit("3_infinite_1080p", ms, {"frames": k})
 
-    # config 4: + skybox (proxy ray-march is documented-slow; measured
-    # separately to keep the headline comparable)
+    # config 3d: dense tiles (8192 splats/tile at lod 0, 5-level /4 LOD
+    # chain — the reference's deep-LOD regime) on the same 1080p terrain
+    eng.shutdown()
+    from gswt_renderer_tpu.core import UserData
+    from gswt_renderer_tpu.engine import Engine
+    from gswt_renderer_tpu.io.synth import synthetic_scene_vec
+    from gswt_renderer_tpu.render.pipeline import RendererConfig as _RC
+
+    sv_d = synthetic_scene_vec(n_lod=5, splats_per_tile=8192, lod_decay=4)
+    eng = Engine(sv_d, viewport=(1920, 1080),
+                 renderer_config=_RC(width=1920, height=1080),
+                 synchronous=True)
+    eng.configure(UserData.from_ui(
+        tile_map_half_wh=(48, 48), surface_type=SurfaceType.HEIGHT_MAP,
+        height_map_wh=(10, 10), height_map_scale=(1.0, 0.3),
+        lod_max_dist=96.0, merge_dot_threshold=0.2, merge_topk=100,
+    ))
+    assert eng.wait_ready(timeout_s=600)
+    ms, k = _time_frames(eng, moves)
+    aux = eng.renderer.last_aux or {}
+    emit("3d_dense_8k_5lod_1080p", ms,
+         {"frames": k, "n_pairs": int(aux.get("n_pairs", 0))})
+    eng.shutdown()
+    eng = _mk_engine(
+        (1920, 1080), tile_map_half_wh=(48, 48),
+        surface_type=SurfaceType.HEIGHT_MAP, height_map_wh=(10, 10),
+        height_map_scale=(1.0, 0.3), lod_max_dist=96.0,
+        merge_dot_threshold=0.2, merge_topk=100,
+    )
+
+    # config 4: full paper config — skybox + rasterized proxy ground
     sky = np.clip(
         np.linspace(0, 4, 64)[:, None, None]
         * np.ones((64, 128, 3), np.float32), 0, 4)
     eng.set_skybox(sky, equirect=True)
+    checker = np.kron(
+        np.indices((64, 64)).sum(0) % 2, np.ones((8, 8))
+    ).astype(np.float32)
+    eng.set_proxy(np.stack(
+        [checker * 0.8 + 0.1, checker * 0.5 + 0.2, checker * 0.3 + 0.1],
+        axis=-1,
+    ))
+    eng.use_proxy = True
     ms, k = _time_frames(eng, moves)
-    emit("4_full_with_skybox_1080p", ms, {"frames": k})
+    emit("4_full_skybox_proxy_1080p", ms, {"frames": k})
+
+    # config 4b: the same full config at 4K (BASELINE.md row)
+    eng.shutdown()
+    eng = _mk_engine(
+        (3840, 2160), tile_map_half_wh=(48, 48),
+        surface_type=SurfaceType.HEIGHT_MAP, height_map_wh=(10, 10),
+        height_map_scale=(1.0, 0.3), lod_max_dist=96.0,
+        merge_dot_threshold=0.2, merge_topk=100,
+    )
+    eng.set_skybox(sky, equirect=True)
+    ms, k = _time_frames(eng, moves)
+    emit("4b_full_skybox_4k", ms, {"frames": k})
 
     # config 5: batched cameras (camera-parallel path on the local mesh)
     import jax

@@ -222,10 +222,11 @@ class Engine:
         self._staged_sort = None
 
     # ------------------------------------------------------------------ #
-    def set_skybox(self, tex, equirect=True):
+    def set_skybox(self, tex, equirect=True, bake=False):
         """Upload a skybox (equirect HDRI [H,W,3] or faces [6,R,R,3]);
-        mirrors the GUI skybox upload (skybox.rs:703-805)."""
-        self.renderer.set_skybox(tex, equirect=equirect)
+        mirrors the GUI skybox upload (skybox.rs:703-805). bake=True runs
+        the reference's HDRI->cubemap bake."""
+        self.renderer.set_skybox(tex, equirect=equirect, bake=bake)
         self.use_skybox = tex is not None
 
     def set_proxy(self, tex):

@@ -66,14 +66,17 @@ def make_synthetic_tile_set(
     tile_width: float = 4.0,
     splats_per_tile: int = 512,
     seed: int = 0,
+    lod_decay: int = 2,
 ):
     """Return raw splat fields per (lod, tile): list[list[dict]] with keys
-    position, log_scale, color_dc, alpha_logit, rotation."""
+    position, log_scale, color_dc, alpha_logit, rotation. lod_decay: splat
+    count divisor per lod (4 matches the scale-doubling rule of real GS LOD
+    chains: splat area x4 => count /4 for constant coverage)."""
     n_tile = 16 * n_center_options
     out = []
     for lod in range(n_lod):
         lod_vec = []
-        n_body = max(splats_per_tile // (2**lod), 32)
+        n_body = max(splats_per_tile // (lod_decay**lod), 32)
         n_edge = max(n_body // 8, 8)
         # average scale must strictly increase with lod (wangtile.rs:139)
         lod_scale = 0.06 * tile_width * (1.8**lod)

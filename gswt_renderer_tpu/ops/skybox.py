@@ -97,6 +97,32 @@ def _sample_cubemap(faces, dir_xyz):
     )
 
 
+def bake_hdri_to_cubemap(hdri, resolution: int = 2048):
+    """Bake an equirect HDRI into cubemap faces [6, R, R, 3] (the
+    reference's 6-pass bake, skybox.rs:341-455 + 580-660, with Reinhard +
+    gamma applied at bake time like its bake shader). Face directions are
+    the inverse of _sample_cubemap's WebGPU uv convention, so
+    _sample_cubemap(bake(h), d) == _sample_equirect(h, d) up to the
+    cubemap's own bilinear resample."""
+    r = resolution
+    t = (jnp.arange(r, dtype=jnp.float32) + 0.5) / r * 2.0 - 1.0
+    vg, ug = jnp.meshgrid(t, t, indexing="ij")  # v' rows, u' cols
+    one = jnp.ones_like(ug)
+    dirs = jnp.stack(
+        [
+            jnp.stack([one, -vg, -ug], axis=-1),    # +x
+            jnp.stack([-one, -vg, ug], axis=-1),    # -x
+            jnp.stack([ug, one, vg], axis=-1),      # +y
+            jnp.stack([ug, -one, -vg], axis=-1),    # -y
+            jnp.stack([ug, -vg, one], axis=-1),     # +z
+            jnp.stack([-ug, -vg, -one], axis=-1),   # -z
+        ],
+        axis=0,
+    )  # [6, R, R, 3]
+    hdri = jnp.asarray(hdri, jnp.float32)
+    return _sample_equirect(hdri, dirs)
+
+
 def render_skybox(cam, image_wh, tex, *, equirect: bool):
     """Returns [H, W, 4] opaque background. tex: equirect [He,We,3] or
     cubemap faces [6,R,R,3]."""

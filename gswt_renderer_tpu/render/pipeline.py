@@ -202,8 +202,22 @@ class Renderer:
         self.proxy_verts = jnp.asarray(gv)
         self.proxy_tris = jnp.asarray(gt)
 
-    def set_skybox(self, tex, equirect=True):
-        self.skybox_tex = jnp.asarray(tex, jnp.float32) if tex is not None else None
+    def set_skybox(self, tex, equirect=True, bake=False, bake_resolution=2048):
+        """Upload a skybox: equirect HDRI [H,W,3] or cube faces [6,R,R,3].
+        bake=True runs the reference's 6-pass HDRI->cubemap bake
+        (skybox.rs:341-455) so runtime sampling goes through the cubemap
+        path; the default samples the equirect directly (identical output
+        up to the cubemap's own resample, PARITY.md #5)."""
+        if tex is None:
+            self.skybox_tex = None
+            return
+        if equirect and bake:
+            from ..ops.skybox import bake_hdri_to_cubemap
+
+            self.skybox_tex = bake_hdri_to_cubemap(tex, bake_resolution)
+            self.skybox_equirect = False
+            return
+        self.skybox_tex = jnp.asarray(tex, jnp.float32)
         self.skybox_equirect = equirect
 
     def set_proxy(self, tex):

@@ -1,11 +1,21 @@
-"""Interactive browser viewer: MJPEG-ish PNG streaming + key capture.
+"""Interactive browser viewer: JPEG streaming + key capture + GUI controls.
 
 The reference renders into a browser canvas with an egui overlay (gui.rs);
-the TPU build serves frames over HTTP instead: a small single-page app polls
-/frame.png and posts keydown/keyup events (the same WASD/R/F move + IJKL
-look + Space sprint bindings, control.rs:90-127). A JSON /hud endpoint
-exposes the perf HUD counters (FPS, sort/build times, trigger rates, splat
-counts — the reference's Render/Perf windows, gui.rs:414-881).
+the TPU build serves frames over HTTP instead:
+- a single-page app polls /frame.jpg and posts keydown/keyup events (the
+  same WASD/R/F move + IJKL look + Space sprint bindings, control.rs:90-127);
+- /hud exposes the perf counters (the Render/Perf windows, gui.rs:414-881);
+- /config POSTs live RenderConfig tweaks (the Render window's switches);
+- /camera GETs/POSTs the camera pose as JSON text — the camera get/set
+  text boxes (gui.rs:884-953);
+- /flypath implements the fly-path keyframe editor (gui.rs:677-781 +
+  control.rs:294-579): record the current camera as a keyframe, remove,
+  clear, play/pause, and import/export the reference's fly-path JSON.
+
+Throughput: the render loop runs pipelined full-rate frames; readback is
+decoupled — every `stream_ms` the latest frame is downscaled and converted
+to u8 ON DEVICE (the dev harness d2h tunnel is ~14 MB/s, so shipping f32
+1080p frames would cap the viewer at ~0.3 fps) and JPEG-encoded.
 """
 
 from __future__ import annotations
@@ -13,26 +23,43 @@ from __future__ import annotations
 import io
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
-from .headless import write_png
 
 _PAGE = """<!DOCTYPE html>
 <html><head><title>gswt_renderer_tpu</title><style>
 body { margin:0; background:#111; color:#ddd; font-family:monospace; }
 #hud { position:fixed; top:8px; left:8px; background:#000a; padding:8px; }
+#panel { position:fixed; top:8px; right:8px; background:#000a; padding:8px;
+         width: 330px; }
+#panel textarea { width: 100%; background:#222; color:#ddd; }
+#panel button { margin: 2px; }
 img { display:block; margin:auto; }
 </style></head>
 <body>
 <div id="hud"></div>
-<img id="frame" width="WIDTH" height="HEIGHT"/>
+<div id="panel">
+  <div>
+    <button onclick="fly('record')">record keyframe</button>
+    <button onclick="fly('play')">play</button>
+    <button onclick="fly('pause')">pause</button>
+    <button onclick="fly('clear')">clear</button>
+  </div>
+  <div id="kf"></div>
+  <div>camera (editable JSON):</div>
+  <textarea id="cam" rows="5"></textarea>
+  <div>
+    <button onclick="getCam()">get</button>
+    <button onclick="setCam()">set</button>
+  </div>
+</div>
+<img id="frame"/>
 <script>
 const img = document.getElementById('frame');
-function tick() {
-  img.src = '/frame.png?' + Date.now();
-}
+function tick() { img.src = '/frame.jpg?' + Date.now(); }
 img.onload = () => setTimeout(tick, 30);
 img.onerror = () => setTimeout(tick, 300);
 tick();
@@ -43,8 +70,24 @@ setInterval(async () => {
     `sort ${h.sort_ms.toFixed(1)}ms (${(100*h.sort_trigger).toFixed(0)}%)  ` +
     `build ${h.build_ms.toFixed(1)}ms  splats ${h.splats}`;
 }, 500);
+async function fly(action) {
+  const r = await fetch('/flypath', {method:'POST',
+      body: JSON.stringify({action})});
+  const fp = await r.json();
+  document.getElementById('kf').innerText =
+    `keyframes: ${fp.n} ${fp.playing ? '(playing)' : ''}`;
+}
+async function getCam() {
+  const r = await fetch('/camera');
+  document.getElementById('cam').value = await r.text();
+}
+async function setCam() {
+  await fetch('/camera', {method:'POST',
+      body: document.getElementById('cam').value});
+}
 for (const ev of ['keydown','keyup']) {
   window.addEventListener(ev, e => {
+    if (e.target.tagName === 'TEXTAREA') return;
     fetch('/key', {method:'POST', body: JSON.stringify(
       {key: e.key, pressed: ev === 'keydown'})});
     e.preventDefault();
@@ -53,46 +96,41 @@ for (const ev of ['keydown','keyup']) {
 </script></body></html>"""
 
 
-def serve(engine, host="0.0.0.0", port=8080):
-    """Run the render loop + HTTP server until interrupted."""
-    state = {"png": b"", "lock": threading.Lock()}
+def encode_jpeg(arr_u8, quality=82):
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(arr_u8, "RGB").save(buf, "JPEG", quality=quality)
+    return buf.getvalue()
+
+
+def serve(engine, host="0.0.0.0", port=8080, scale: int = 2,
+          stream_ms: float = 150.0, stop_event: threading.Event | None = None):
+    """Run the render loop + HTTP server until interrupted (or stop_event)."""
+    import jax
+
+    stop = stop_event or threading.Event()
+    state = {"jpg": b"", "lock": threading.Lock()}
 
     def render_loop():
-        while True:
-            img = engine.frame(readback=True)
+        next_grab = 0.0
+        while not stop.is_set():
+            img = engine.frame(readback=False)
             if img is None:
+                time.sleep(0.01)
                 continue
-            buf = io.BytesIO()
-
-            class _W:
-                def __init__(self, b):
-                    self.b = b
-
-                def write(self, d):
-                    self.b.write(d)
-
-            # reuse write_png via a temp path-free encoder
-            import struct
-            import zlib
-
-            arr = np.clip(img[..., :3] * 255.0, 0, 255).astype(np.uint8)
-            h, w = arr.shape[:2]
-            raw = b"".join(b"\x00" + arr[i].tobytes() for i in range(h))
-
-            def chunk(tag, data):
-                c = tag + data
-                return struct.pack(">I", len(data)) + c + struct.pack(
-                    ">I", zlib.crc32(c)
-                )
-
-            png = (
-                b"\x89PNG\r\n\x1a\n"
-                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
-                + chunk(b"IDAT", zlib.compress(raw, 1))
-                + chunk(b"IEND", b"")
-            )
+            now = time.time()
+            if now < next_grab:
+                continue
+            next_grab = now + stream_ms / 1e3
+            # downscale + quantize on device: d2h ships H/s x W/s x 3 bytes
+            small = jax.numpy.clip(
+                img[:: scale, :: scale, :3] * 255.0, 0, 255
+            ).astype(jax.numpy.uint8)
+            arr = np.asarray(jax.device_get(small))
+            jpg = encode_jpeg(arr)
             with state["lock"]:
-                state["png"] = png
+                state["jpg"] = jpg
 
     t = threading.Thread(target=render_loop, daemon=True)
     t.start()
@@ -101,19 +139,26 @@ def serve(engine, host="0.0.0.0", port=8080):
         def log_message(self, *a):
             pass
 
+        def _json(self, obj, code=200):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_GET(self):
-            if self.path.startswith("/frame.png"):
+            if self.path.startswith("/frame.jpg"):
                 with state["lock"]:
-                    png = state["png"]
-                self.send_response(200 if png else 503)
-                self.send_header("Content-Type", "image/png")
+                    jpg = state["jpg"]
+                self.send_response(200 if jpg else 503)
+                self.send_header("Content-Type", "image/jpeg")
                 self.end_headers()
-                self.wfile.write(png)
+                self.wfile.write(jpg)
             elif self.path.startswith("/hud"):
                 f_avg, _ = engine.frame_time_ma.calc()
                 s_avg, _ = engine.sort_time_ma.calc()
                 b_avg, _ = engine.build_time_ma.calc()
-                hud = dict(
+                self._json(dict(
                     fps=1000.0 / f_avg if f_avg > 0 else 0.0,
                     frame_ms=f_avg,
                     sort_ms=s_avg,
@@ -122,34 +167,97 @@ def serve(engine, host="0.0.0.0", port=8080):
                     splats=(
                         engine.cur_scene.splat_count if engine.cur_scene else 0
                     ),
-                )
-                body = json.dumps(hud).encode()
+                    stream_truncated=getattr(
+                        engine.renderer, "last_stream_truncated", 0
+                    ),
+                    overflow_frames=getattr(
+                        engine.renderer, "overflow_frames", 0
+                    ),
+                ))
+            elif self.path.startswith("/camera"):
+                c = engine.camera
+                self._json(dict(
+                    position=c.position.tolist(),
+                    target=c.target.tolist(),
+                    up=c.up.tolist(),
+                    fovy_deg=float(np.rad2deg(c.fovy)),
+                ))
+            elif self.path.startswith("/flypath"):
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
                 self.end_headers()
-                self.wfile.write(body)
+                self.wfile.write(engine.fly_path.to_json().encode())
             else:
-                w, h = engine.camera.viewport
-                body = _PAGE.replace("WIDTH", str(w)).replace(
-                    "HEIGHT", str(h)
-                ).encode()
+                body = _PAGE.encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "text/html")
                 self.end_headers()
                 self.wfile.write(body)
 
         def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            raw = self.rfile.read(n) if n else b"{}"
             if self.path.startswith("/key"):
-                n = int(self.headers.get("Content-Length", 0))
-                data = json.loads(self.rfile.read(n))
+                data = json.loads(raw)
                 engine.handle_key(str(data.get("key", "")), bool(data["pressed"]))
+                self.send_response(204)
+                self.end_headers()
+            elif self.path.startswith("/camera"):
+                # camera set (gui.rs:884-953)
+                data = json.loads(raw)
+                c = engine.camera
+                if "position" in data:
+                    c.position = np.asarray(data["position"], np.float32)
+                if "target" in data:
+                    c.target = np.asarray(data["target"], np.float32)
+                if "up" in data:
+                    c.up = np.asarray(data["up"], np.float32)
+                if "fovy_deg" in data:
+                    c.fovy = float(np.deg2rad(data["fovy_deg"]))
+                self.send_response(204)
+                self.end_headers()
+            elif self.path.startswith("/flypath"):
+                # keyframe editor (gui.rs:677-781)
+                from ..engine.control import FlyPathControl, FlyPathFrame
+
+                data = json.loads(raw)
+                action = data.get("action", "")
+                fp = engine.fly_path
+                if action == "record":
+                    dt = float(data.get("interval", 2.0))
+                    t0 = fp.keyframes[-1].timestamp + dt if fp.keyframes else 0.0
+                    fp.keyframes.append(FlyPathFrame(
+                        float(data.get("time", t0)),
+                        engine.camera.position.copy(),
+                        engine.camera.target.copy(),
+                    ))
+                elif action == "remove" and fp.keyframes:
+                    idx = int(data.get("index", len(fp.keyframes) - 1))
+                    if 0 <= idx < len(fp.keyframes):
+                        fp.keyframes.pop(idx)
+                elif action == "clear":
+                    fp.keyframes.clear()
+                    engine.camera_control = "keyboard"
+                elif action == "play":
+                    fp.reset_path()
+                    fp.start_path()
+                    engine.camera_control = "flypath"
+                elif action == "pause":
+                    fp.pause_path()
+                    engine.camera_control = "keyboard"
+                elif action == "load":
+                    engine.fly_path = FlyPathControl.from_json(
+                        json.dumps(data.get("flypath", {}))
+                    )
+                playing = engine.camera_control == "flypath"
+                self._json(dict(n=len(engine.fly_path.keyframes),
+                                playing=playing))
             elif self.path.startswith("/config"):
                 # live render-config tweaks (the reference's Render window,
                 # gui.rs:414-781): POST {"splat_scale": 1.5, "draw_mode": 1,
                 # "use_clip": true, ...} with RenderConfig field names; also
                 # "freeze_frame"/"step_frame"/"lock_tile"/"lock_sort".
-                n = int(self.headers.get("Content-Length", 0))
-                data = json.loads(self.rfile.read(n))
+                data = json.loads(raw)
                 from ..core.config import DrawMode
 
                 for k, v in data.items():
@@ -163,9 +271,23 @@ def serve(engine, host="0.0.0.0", port=8080):
                         elif isinstance(v, list):
                             v = tuple(v)
                         setattr(engine.render_config, k, v)
-            self.send_response(204)
-            self.end_headers()
+                self.send_response(204)
+                self.end_headers()
+            elif self.path.startswith("/quit"):
+                stop.set()
+                self.send_response(204)
+                self.end_headers()
+                threading.Thread(target=server.shutdown, daemon=True).start()
+            else:
+                self.send_response(404)
+                self.end_headers()
 
     server = ThreadingHTTPServer((host, port), Handler)
-    print(f"viewer at http://{host}:{port}/")
-    server.serve_forever()
+    print(f"viewer at http://{host}:{port}/  (POST /quit to stop)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        stop.set()
+        server.server_close()

@@ -144,3 +144,32 @@ def test_write_png_roundtrip(tmp_path):
     data = open(p, "rb").read()
     assert data[:8] == b"\x89PNG\r\n\x1a\n"
     assert len(data) > 100
+
+
+def test_hdri_cubemap_bake_roundtrip(rng):
+    """The 6-pass HDRI->cubemap bake (skybox.rs:341-455): sampling the baked
+    cubemap must reproduce direct equirect sampling for arbitrary
+    directions, up to the cubemap's own bilinear resample."""
+    from gswt_renderer_tpu.ops.skybox import (
+        _sample_cubemap,
+        _sample_equirect,
+        bake_hdri_to_cubemap,
+    )
+
+    # smooth HDR field so the resample tolerance is meaningful
+    th = np.linspace(0, 2 * np.pi, 64, endpoint=False)
+    ph = np.linspace(0, np.pi, 32)
+    hdri = (
+        1.5
+        + np.sin(th)[None, :, None] * np.cos(2 * ph)[:, None, None]
+        + 0.3 * np.cos(2 * th)[None, :, None]
+    ).astype(np.float32) * np.array([1.0, 0.8, 0.6], np.float32)
+    faces = bake_hdri_to_cubemap(hdri, resolution=128)
+    assert faces.shape == (6, 128, 128, 3)
+    d = rng.normal(size=(500, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    via_cube = np.asarray(_sample_cubemap(faces, jnp.asarray(d)))
+    direct = np.asarray(_sample_equirect(jnp.asarray(hdri), jnp.asarray(d)))
+    err = np.abs(via_cube - direct)
+    assert np.quantile(err, 0.95) < 0.02, float(np.quantile(err, 0.95))
+    assert err.mean() < 0.01
