@@ -76,8 +76,10 @@ def main():
     eng.configure(ud)
     assert eng.wait_ready(timeout_s=300), "engine did not produce a frame"
 
-    # scripted fly path crossing several tiles with a turn, looped out to
-    # 60 s so the timed run covers >= 200 frames
+    # scripted fly path crossing several tiles with a turn, ping-ponged out
+    # to 60 s so the timed run covers >= 200 frames WITHOUT camera teleports
+    # (a loop seam teleport mass-triggers LOD transitions, spiking the
+    # stream 2x for a few frames and poisoning the grow-only buckets)
     fp = FlyPathControl()
     kf = [
         (0.0, (0.0, 0.0, 5.0), (0.0, 30.0, 2.0)),
@@ -85,9 +87,17 @@ def main():
         (10.0, (2.0, 40.0, 6.0), (-20.0, 60.0, 1.0)),
         (15.0, (-10.0, 55.0, 5.0), (-30.0, 80.0, 2.0)),
     ]
-    loop = [(t + 15.0 * r, p, tgt) for r in range(4) for (t, p, tgt) in kf
-            if not (r > 0 and t == 0.0)]
-    for t, p, tgt in loop:
+    path = []
+    for r in range(4):
+        seg = kf if r % 2 == 0 else [
+            (15.0 - t, p, tgt) for (t, p, tgt) in reversed(kf)
+        ]
+        for (t, p, tgt) in seg:
+            tt = 15.0 * r + t
+            if path and tt <= path[-1][0]:
+                continue
+            path.append((tt, p, tgt))
+    for t, p, tgt in path:
         fp.keyframes.append(
             FlyPathFrame(t, np.array(p, np.float32), np.array(tgt, np.float32))
         )

@@ -75,7 +75,11 @@ class RendererConfig:
     max_draws: int = 16384
     max_stream: int = 1 << 22
     min_stream: int = 1 << 14
-    pairs_factor: float = 2.0  # max_pairs = stream_bucket * pairs_factor
+    # first-frame pair budget = stream_bucket * pairs_factor; measured
+    # pairs/stream-lane is ~0.8 at 1080p and the steady-state hint uses
+    # 1.4x headroom, so 1.3 usually lands the FIRST frame on the converged
+    # bucket (one frame-variant compile); an overflow retries right-sized
+    pairs_factor: float = 1.3
     interpret: bool | None = None  # None = auto (interpret off on TPU)
     # exact=True renders bit-matched to the WGSL/oracle math; the default
     # fast profile packs the pair table (bf16 q + u8 rgba) and uses the
@@ -615,9 +619,11 @@ class Renderer:
         if hint is None:
             want = int(s_pad * c.pairs_factor)
         else:
-            # 1.15 headroom over the session max: the {p,1.5p} bucket
-            # ladder itself adds 0-50%, and overflow grows the hint anyway
-            want = int(hint * 1.15)
+            # 1.4x headroom over the session max: transient pair spikes of
+            # ~25% between warmup samples are real (a tighter 1.15x bucket
+            # overflowed mid-benchmark and paid a 40s recompile inside the
+            # timed run — far worse than the ~8% per-frame cost)
+            want = int(hint * 1.4)
         want = max(want, c.chunk)
         return _next_pow2(want, c.chunk, 1 << 24)
 
@@ -752,8 +758,9 @@ class Renderer:
             )
             if not bool(self.last_aux["overflow"]):
                 break
-            # overflow: grow the hint and re-render for a complete frame
-            self._pairs_hint = int(key[1] * 2)
+            # overflow: n_pairs is the TRUE demand (binning counts before
+            # clamping), and the hint already absorbed it above — re-render
+            # with the right-sized budget for a complete frame
             self.last_overflow_retries += 1
         return np.asarray(jax.device_get(img)) if as_numpy else img
 
@@ -768,8 +775,8 @@ class Renderer:
         )
         if bool(self.last_aux["overflow"]):
             # too late to retry this frame (it already rendered truncated);
-            # grow the budget so subsequent frames are complete
-            self._pairs_hint = max(self._pairs_hint, bucket * 2)
+            # the hint absorbed the true demand above, so subsequent frames
+            # get a right-sized budget
             self.overflow_frames = getattr(self, "overflow_frames", 0) + 1
 
     def drain(self):
