@@ -55,9 +55,6 @@ def _load():
     lib.gswt_counting_sort_merge.argtypes = [i32p, i64p, ctypes.c_int64, u32p, u32p]
     lib.gswt_gather_offset_u32.argtypes = [u32p, u32p, u32p, u32p, ctypes.c_int64, u32p]
     lib.gswt_lookup_u32.argtypes = [u32p, u32p, ctypes.c_int64, u32p]
-    lib.gswt_assemble_stream.argtypes = [
-        i32p, i32p, i32p, i64p, i64p, i64p, ctypes.c_int64, i32p, i32p, i32p
-    ]
     lib.gswt_toposort.argtypes = [
         i32p, i32p, ctypes.c_int64, i32p, ctypes.c_int64, ctypes.c_int32, i32p
     ]
@@ -160,43 +157,6 @@ def gather_offset_u32(base, seg_id, idx, offsets):
     return np.asarray(base, np.uint32)[
         np.asarray(offsets, np.uint32)[seg_id] + np.asarray(idx, np.uint32)
     ]
-
-
-def assemble_stream(preload_packed, merged_packed, merged_map, preload_off,
-                    stream_start, counts, out_packed, out_map, out_draw):
-    """Reversed segmented memcpy assembling the front-to-back splat stream
-    (renderer.rs:466-591 recast). All arrays contiguous; outputs must be
-    sized >= counts.sum(). Falls back to a NumPy loop without the lib."""
-    n = len(counts)
-    if HAVE_NATIVE:
-        _lib.gswt_assemble_stream(
-            _ptr(np.ascontiguousarray(preload_packed, np.int32), ctypes.c_int32),
-            _ptr(np.ascontiguousarray(merged_packed, np.int32), ctypes.c_int32),
-            _ptr(np.ascontiguousarray(merged_map, np.int32), ctypes.c_int32),
-            _ptr(np.ascontiguousarray(preload_off, np.int64), ctypes.c_int64),
-            _ptr(np.ascontiguousarray(stream_start, np.int64), ctypes.c_int64),
-            _ptr(np.ascontiguousarray(counts, np.int64), ctypes.c_int64),
-            n,
-            _ptr(out_packed, ctypes.c_int32),
-            _ptr(out_map, ctypes.c_int32),
-            _ptr(out_draw, ctypes.c_int32),
-        )
-        return
-    pos = 0
-    for i in range(n - 1, -1, -1):
-        cnt = int(counts[i])
-        if cnt <= 0:
-            continue
-        if stream_start[i] >= 0:
-            s0 = int(stream_start[i])
-            out_packed[pos : pos + cnt] = merged_packed[s0 : s0 + cnt][::-1]
-            out_map[pos : pos + cnt] = merged_map[s0 : s0 + cnt][::-1]
-        else:
-            off = int(preload_off[i])
-            out_packed[pos : pos + cnt] = preload_packed[off : off + cnt][::-1]
-            out_map[pos : pos + cnt] = 0
-        out_draw[pos : pos + cnt] = i
-        pos += cnt
 
 
 def toposort(edge_a, edge_b, nodes, max_index):

@@ -150,45 +150,6 @@ void gswt_lookup_u32(const uint32_t* table, const uint32_t* seg_id, int64_t n,
   for (int64_t i = 0; i < n; ++i) out[i] = table[seg_id[i]];
 }
 
-// Assemble the per-frame splat stream: the renderer.rs:466-591 draw loop as
-// a reversed segmented memcpy. Draws are emitted in REVERSED order and each
-// draw's entries reversed (=> global front-to-back for the TPU compositor).
-// For draw i: if stream_start[i] >= 0, source is the merged stream at that
-// offset; otherwise the resident presorted table at preload_off[i].
-// map ids are only meaningful for merged draws (zero otherwise).
-void gswt_assemble_stream(const int32_t* preload_packed,
-                          const int32_t* merged_packed,
-                          const int32_t* merged_map,
-                          const int64_t* preload_off,
-                          const int64_t* stream_start,
-                          const int64_t* counts, int64_t n_draws,
-                          int32_t* out_packed, int32_t* out_map,
-                          int32_t* out_draw) {
-  int64_t pos = 0;
-  for (int64_t i = n_draws - 1; i >= 0; --i) {
-    int64_t cnt = counts[i];
-    if (cnt <= 0) continue;
-    if (stream_start[i] >= 0) {
-      const int32_t* src_p = merged_packed + stream_start[i];
-      const int32_t* src_m = merged_map + stream_start[i];
-      for (int64_t j = 0; j < cnt; ++j) {
-        out_packed[pos + j] = src_p[cnt - 1 - j];
-        out_map[pos + j] = src_m[cnt - 1 - j];
-      }
-    } else {
-      const int32_t* src_p = preload_packed + preload_off[i];
-      for (int64_t j = 0; j < cnt; ++j) {
-        out_packed[pos + j] = src_p[cnt - 1 - j];
-      }
-      std::memset(out_map + pos, 0, cnt * sizeof(int32_t));
-    }
-    for (int64_t j = 0; j < cnt; ++j) {
-      out_draw[pos + j] = static_cast<int32_t>(i);
-    }
-    pos += cnt;
-  }
-}
-
 // Painter's-order toposort (wangtile.rs:1115-1218): Kahn over the tile DAG
 // with deterministic cycle removal (lowest-index remaining node). Emits, in
 // FINAL order (already reversed, back-to-front): removed cycle nodes first,
