@@ -93,25 +93,32 @@ def render_cameras_sharded(renderer, staged, scene_params, cam_batch, mesh,
         tris=jnp.zeros((3, 2), jnp.int32),
     )
 
-    def per_device(cams_local):
+    def per_device(cams_local, store, panels, stream, draw, hm4):
         def body(carry, cam):
-            img, _ = frame(
-                renderer.store_packed, renderer.panels, stream, draw, cam,
-                renderer.hm4, sky, prox,
-            )
+            img, _ = frame(store, panels, stream, draw, cam, hm4, sky, prox)
             return carry, img
 
         _, imgs = jax.lax.scan(body, 0, cams_local)
         return imgs
 
-    shard = jax.shard_map(
-        per_device,
-        mesh=mesh,
-        in_specs=(P("dp"),),
-        out_specs=P("dp"),
-        check_vma=False,
+    # cache the traced+compiled sharded program: rebuilding shard_map per
+    # call re-traces the whole frame (~8s of host time at 1080p)
+    key = ("dp", tuple(mesh.shape.items()), cam_batch.shape,
+           staged["s_pad"], int(rc.draw_mode),
+           int(scene_params.surface_type), bool(rc.draw_point_cloud))
+    cache = renderer.__dict__.setdefault("_sharded_jit", {})
+    if key not in cache:
+        cache[key] = jax.jit(jax.shard_map(
+            per_device,
+            mesh=mesh,
+            in_specs=(P("dp"), P(), P(), P(), P(), P()),
+            out_specs=P("dp"),
+            check_vma=False,
+        ))
+    return cache[key](
+        cam_batch, renderer.store_packed, renderer.panels, stream, draw,
+        renderer.hm4,
     )
-    return shard(cam_batch)
 
 
 def render_stream_sharded(renderer, staged, scene_params, camera, mesh,
@@ -154,14 +161,12 @@ def render_stream_sharded(renderer, staged, scene_params, camera, mesh,
         tris=jnp.zeros((3, 2), jnp.int32),
     )
 
-    def per_device(blocks_local):
+    def per_device(blocks_local, store, panels, merged, draw, uniforms, hm4):
         # each shard assembles + composites its contiguous block range of
         # the front-to-back stream (panels + merged scratch replicated)
         img, _ = frame(
-            renderer.store_packed, renderer.panels,
-            dict(blocks=blocks_local, merged=stream["merged"]),
-            draw, uniforms,
-            renderer.hm4, sky, prox,
+            store, panels, dict(blocks=blocks_local, merged=merged),
+            draw, uniforms, hm4, sky, prox,
         )
         # fold segment images front-to-back across 'sp'
         imgs = jax.lax.all_gather(img, "sp")  # [n_sp, H, W, 4]
@@ -172,11 +177,20 @@ def render_stream_sharded(renderer, staged, scene_params, camera, mesh,
         out, _ = jax.lax.scan(fold, imgs[0], imgs[1:])
         return out[None]
 
-    shard = jax.shard_map(
-        per_device,
-        mesh=mesh,
-        in_specs=(P(None, "sp"),),
-        out_specs=P(),
-        check_vma=False,
+    # cached compiled program (see render_cameras_sharded)
+    key = ("sp", tuple(mesh.shape.items()), nb, staged["s_pad"],
+           int(rc.draw_mode), int(scene_params.surface_type),
+           bool(rc.draw_point_cloud))
+    cache = renderer.__dict__.setdefault("_sharded_jit", {})
+    if key not in cache:
+        cache[key] = jax.jit(jax.shard_map(
+            per_device,
+            mesh=mesh,
+            in_specs=(P(None, "sp"), P(), P(), P(), P(), P(), P()),
+            out_specs=P(),
+            check_vma=False,
+        ))
+    return cache[key](
+        stream["blocks"], renderer.store_packed, renderer.panels,
+        stream["merged"], draw, uniforms, renderer.hm4,
     )
-    return shard(stream["blocks"])
