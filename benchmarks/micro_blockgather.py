@@ -85,13 +85,79 @@ def main():
 
     pallas_jit = jax.jit(pallas_blockgather)
 
+    # block-contiguous layouts: table [NPB, K, B] (one panel = one
+    # contiguous K*B*4-byte chunk), out [NB, K, B]
+    K16 = 16
+    table_bc = jnp.asarray(rng.random((NP_ // B, K16, B), np.float32))
+    table_rows = table_bc.reshape(NP_ // B, K16 * B)
+
+    def pallas_bc(table, src, group=8):
+        def kern(src_ref, tab_ref, out_ref, sems):
+            g = pl.program_id(0)
+            for i in range(group):
+                b = g * group + i
+                pltpu.make_async_copy(
+                    tab_ref.at[src_ref[b]], out_ref.at[b], sems.at[i]
+                ).start()
+            for i in range(group):
+                b = g * group + i
+                pltpu.make_async_copy(
+                    tab_ref.at[src_ref[b]], out_ref.at[b], sems.at[i]
+                ).wait()
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(NB // group,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[pltpu.SemaphoreType.DMA((group,))],
+        )
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((NB, K16, B), jnp.float32),
+            grid_spec=grid_spec,
+        )(src, table)
+
+    pallas_bc_jit = jax.jit(functools.partial(pallas_bc, group=8))
+    pallas_bc1_jit = jax.jit(functools.partial(pallas_bc, group=1))
+
+    @jax.jit
+    def pallas_bc_t(table, src):
+        out = pallas_bc(table, src, group=8)  # [NB, K, B]
+        return out.transpose(1, 0, 2).reshape(K16, NB * B)
+
+    @jax.jit
+    def row_gather(table_rows, src):
+        return table_rows[src]  # [NB, K*B]
+
+    @jax.jit
+    def row_gather_t(table_rows, src):
+        out = table_rows[src].reshape(NB, K16, B)
+        return out.transpose(1, 0, 2).reshape(K16, NB * B)
+
     t1 = timeit(slice_gather, table, src_blocks)
     t2 = timeit(elem_gather, table, src_blocks)
     t3 = timeit(pallas_jit, table, src_blocks)
+    t4 = timeit(pallas_bc_jit, table_bc, src_blocks)
+    t4b = timeit(pallas_bc1_jit, table_bc, src_blocks)
+    t5 = timeit(pallas_bc_t, table_bc, src_blocks)
+    t6 = timeit(row_gather, table_rows, src_blocks)
+    t7 = timeit(row_gather_t, table_rows, src_blocks)
     bytes_moved = K * NB * B * 4 * 2 / 1e9
+    bytes16 = K16 * NB * B * 4 * 2 / 1e9
     print(f"stream: K={K} x {NB*B/1e6:.1f}M  ({bytes_moved:.2f} GB r+w)")
-    for name, t in [("slice_gather", t1), ("elem_gather", t2), ("pallas", t3)]:
-        print(f"  {name:14s} {t:7.1f} ms  ({bytes_moved/((t-40)/1e3+1e-9):6.1f} GB/s eff, sync-corrected)")
+    for name, t, bm in [
+        ("slice_gather", t1, bytes_moved),
+        ("elem_gather", t2, bytes_moved),
+        ("pallas strided", t3, bytes_moved),
+        ("pallas blk-contig g8", t4, bytes16),
+        ("pallas blk-contig g1", t4b, bytes16),
+        ("pallas blk-contig + transpose", t5, bytes16 * 2),
+        ("XLA row gather (16KB rows)", t6, bytes16),
+        ("XLA row gather + transpose", t7, bytes16 * 2),
+    ]:
+        print(f"  {name:30s} {t:7.1f} ms  "
+              f"({bm/((t-25)/1e3+1e-9):6.1f} GB/s eff, sync-corrected)")
 
 
 if __name__ == "__main__":

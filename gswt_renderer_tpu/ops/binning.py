@@ -134,6 +134,36 @@ def build_worklist(sorted_key, *, n_tiles, max_pairs: int, chunk: int):
     )
 
 
+def build_pair_table(sorted_key, dead, cx, cy, qa, qb, qc, z, r, g, b, a, *,
+                     ntx, n_tiles, tile_wh):
+    """Assemble the [16, P] raster table with the exponent quadratic
+    RECENTERED to each pair's raster-tile origin:
+
+      e(u, v) = k0 u^2 + k1 uv + k2 v^2 + k3 u + k4 v + k5,   (u, v) local
+
+    algebraically identical to the global monomial form but with operand
+    magnitudes bounded by the tile size instead of the image size — the
+    raster matmul can then run reduced-precision without breaking the
+    exponent, and f32 rounding vs the per-pixel oracle math shrinks."""
+    tw, th = tile_wh
+    tile_c = jnp.minimum(sorted_key, n_tiles - 1)
+    ox = (tile_c % ntx * tw).astype(jnp.float32)
+    oy = (tile_c // ntx * th).astype(jnp.float32)
+    dx = cx - ox
+    dy = cy - oy
+    av = qa * dx + qb * dy
+    bv = qb * dx + qc * dy
+    k5 = jnp.where(dead, -1e30, -(dx * av + dy * bv))
+    return jnp.stack(
+        [
+            -qa, -2.0 * qb, -qc, 2.0 * av, 2.0 * bv, k5,
+            z, jnp.zeros_like(z), r, g, b, a,
+        ]
+        + [jnp.zeros_like(z)] * 4,
+        axis=0,
+    )
+
+
 def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
               exact: bool = True):
     """p: projection outputs (front-to-back order). Static: image_wh (W,H),
@@ -170,35 +200,24 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
     dead = sorted_key >= n_tiles
     bc = jax.lax.bitcast_convert_type
     cr, cg, cb, ca = p["color"]
+    qa, qb, qc = p["q"]
 
     if exact:
-        # ONE 11-component gather assembles the f32 raster table
-        k0, k1, k2, k3, k4, k5 = p["k"]
+        # ONE 10-component f32 gather assembles the raster inputs
         ptab = jnp.stack(
-            [k0, k1, k2, k3, k4, k5, p["z"], cr, cg, cb, ca], axis=0
+            [p["cx"], p["cy"], qa, qb, qc, p["z"], cr, cg, cb, ca], axis=0
         )
         rows = ptab[:, sorted_sp]
-        k5r = jnp.where(dead, -1e30, rows[5])
-        car = jnp.where(dead, 0.0, rows[10])
-        zero1 = jnp.zeros((1, max_pairs), jnp.float32)
-        table = jnp.concatenate(
-            [
-                rows[0:5],
-                k5r[None],
-                rows[6:7],
-                zero1,
-                rows[7:10],
-                car[None],
-                jnp.zeros((4, max_pairs), jnp.float32),
-            ],
-            axis=0,
-        )
+        cxg, cyg = rows[0], rows[1]
+        qag, qbg, qcg = rows[2], rows[3], rows[4]
+        zg = rows[5]
+        rg, gg, bg = rows[6], rows[7], rows[8]
+        ag = jnp.where(dead, 0.0, rows[9])
     else:
         # packed 5-row table: a bf16 is the top 16 bits of its f32
         def bf16_hi(x):
             return bc(x.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
 
-        qa, qb, qc = p["q"]
         qab = bc((bf16_hi(qa) << 16) | bf16_hi(qb), jnp.float32)
         qcz = bc((bf16_hi(qc) << 16) | bf16_hi(p["z"]), jnp.float32)
 
@@ -213,11 +232,10 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
         )
         ptab = jnp.stack([p["cx"], p["cy"], qab, qcz, rgba], axis=0)
         rows = ptab[:, sorted_sp]
-        # unpack + reconstruct the monomial k-form POST-gather: a handful of
-        # fused element passes over the pair arrays (~BW-free), so the
-        # raster kernel consumes the same aligned 16-row f32 table as exact
-        # mode (a 5-row kernel block mis-tiles VMEM's (8,128) and cost
-        # +30ms/frame in kernel DMA)
+        # unpack POST-gather: a handful of fused element passes over the
+        # pair arrays (~BW-free), so the raster kernel consumes the same
+        # aligned 16-row f32 table as exact mode (a 5-row kernel block
+        # mis-tiles VMEM's (8,128) and cost +30ms/frame in kernel DMA)
         cxg = rows[0]
         cyg = rows[1]
         u2 = bc(rows[2], jnp.int32)
@@ -233,17 +251,11 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
         gg = ((u4 >> 8) & 0xFF).astype(jnp.float32) * inv255
         bg = ((u4 >> 16) & 0xFF).astype(jnp.float32) * inv255
         ag = ((u4 >> 24) & 0xFF).astype(jnp.float32) * inv255
-        av = qag * cxg + qbg * cyg
-        bv = qbg * cxg + qcg * cyg
-        k5g = jnp.where(dead, -1e30, -(cxg * av + cyg * bv))
-        table = jnp.stack(
-            [
-                -qag, -2.0 * qbg, -qcg, 2.0 * av, 2.0 * bv, k5g,
-                zg, jnp.zeros_like(zg), rg, gg, bg, ag,
-            ]
-            + [jnp.zeros_like(zg)] * 4,
-            axis=0,
-        )
+
+    table = build_pair_table(
+        sorted_key, dead, cxg, cyg, qag, qbg, qcg, zg, rg, gg, bg, ag,
+        ntx=ntx, n_tiles=n_tiles, tile_wh=tile_wh,
+    )
 
     wl = build_worklist(sorted_key, n_tiles=n_tiles, max_pairs=max_pairs,
                         chunk=chunk)

@@ -565,20 +565,11 @@ def assemble_and_project(blocks, merged, panels, keep_draw, store_packed,
     q_a = 4.0 * (mjx * mjx / m2s**2 + mnx * mnx / n2s**2)
     q_b = 4.0 * (mjx * mjy / m2s**2 + mnx * mny / n2s**2)
     q_c = 4.0 * (mjy * mjy / m2s**2 + mny * mny / n2s**2)
-    if exact:
-        # monomial exponent coefficients (the oracle/WGSL form); the fast
-        # path reconstructs these inside the raster kernel from (q, center)
-        # — an exact algebraic identity — so only 5 packed rows travel
-        # through the pair gather (ops/binning.py)
-        k0 = -q_a
-        k1 = -2.0 * q_b
-        k2 = -q_c
-        k3 = 2.0 * q_a * cx_px + 2.0 * q_b * cy_px
-        k4 = 2.0 * q_b * cx_px + 2.0 * q_c * cy_px
-        k5 = -(q_a * cx_px * cx_px + 2.0 * q_b * cx_px * cy_px
-               + q_c * cy_px * cy_px)
-    else:
-        k0 = k1 = k2 = k3 = k4 = k5 = None
+    # the monomial exponent coefficients are reconstructed from (q, center)
+    # in ops/binning.py RECENTERED to each pair's raster tile origin — an
+    # exact algebraic identity that keeps the matmul operands small (local
+    # monomials <= tile^2 instead of image^2), which both speeds the kernel
+    # matmul up and tightens parity vs the per-pixel WGSL/oracle math
 
     # tight pixel bbox of the coverage ellipse (the quad corners over-cover
     # by up to sqrt(2)): o(theta) = cos(t)*maj + sin(t)*min in double-pixel
@@ -587,12 +578,8 @@ def assemble_and_project(blocks, merged, panels, keep_draw, store_packed,
     ext_y = jnp.sqrt(mjy * mjy + mny * mny)
 
     valid &= jnp.isfinite(cx_px) & jnp.isfinite(cy_px)
-    if exact:
-        for k in (k0, k1, k2, k3, k4, k5):
-            valid &= jnp.isfinite(k)
-    else:
-        for q in (q_a, q_b, q_c):
-            valid &= jnp.isfinite(q)
+    for q in (q_a, q_b, q_c):
+        valid &= jnp.isfinite(q)
 
     vf32 = valid.astype(jnp.float32)
     return dict(
@@ -600,7 +587,6 @@ def assemble_and_project(blocks, merged, panels, keep_draw, store_packed,
         cx=cx_px,
         cy=cy_px,
         z=z_ndc,
-        k=(k0, k1, k2, k3, k4, k5) if exact else None,
         q=(q_a, q_b, q_c),
         color=(cr * vf32, cg * vf32, cb * vf32, ca * vf32),
         ext_x=ext_x,

@@ -37,16 +37,17 @@ CUTOFF = -4.0  # fragment discard threshold (gswt.wgsl:427-430)
 MIN_T = 0.5 / 255.0  # early-exit transmittance (below ROP quantization)
 
 
-def _pixel_features(tile_xy, tw, th):
-    """F matrix (8, th*tw): monomials of pixel-center coordinates for the
-    exponent matmul. Built flat (pixel p = y*tw + x, matching
-    tiles_to_image's layout) — a (th, tw)->(P,) reshape is an unsupported
-    Mosaic shape cast when tw < 128."""
-    ty, tx = tile_xy
+def _pixel_features(tw, th):
+    """F matrix (8, th*tw): monomials of TILE-LOCAL pixel-center coordinates
+    for the exponent matmul (the table's k rows are recentered per pair to
+    its tile origin by ops/binning.py build_pair_table, so the same F serves
+    every tile). Built flat (pixel p = y*tw + x, matching tiles_to_image's
+    layout) — a (th, tw)->(P,) reshape is an unsupported Mosaic shape cast
+    when tw < 128."""
     p_n = th * tw
     i = jax.lax.broadcasted_iota(jnp.int32, (1, p_n), 1)
-    px = (tx * tw + i % tw).astype(jnp.float32) + 0.5
-    py = (ty * th + i // tw).astype(jnp.float32) + 0.5
+    px = (i % tw).astype(jnp.float32) + 0.5
+    py = (i // tw).astype(jnp.float32) + 0.5
     one = jnp.ones_like(px)
     zero = jnp.zeros_like(px)
     return jnp.concatenate(
@@ -75,15 +76,13 @@ def _raster_kernel(
     out_ref,
     # scratch
     acc_ref, trans_ref,
-    *, tw, th, ntx, chunk,
+    *, tw, th, ntx, chunk, exact,
 ):
     g = pl.program_id(0)
     tf = e_tf[g]
     tile = tf & 0xFFFFFF
     first = ((tf >> 24) & 1) == 1
     last = ((tf >> 25) & 1) == 1
-    ty = tile // ntx
-    tx = tile % ntx
     p_n = th * tw
 
     @pl.when(first)
@@ -103,15 +102,31 @@ def _raster_kernel(
         )
         z = table[6, :][:, None]  # (C,1)
         alpha = table[11, :][:, None]  # (C,1)
-        feats = _pixel_features((ty, tx), tw, th)  # (8, P)
-        # full f32 precision: the monomials reach ~4e6 at 1080p and the MXU's
-        # default bf16 passes would corrupt the exponent by O(1)
-        expnt = jax.lax.dot_general(
-            ktab, feats,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (C, P)
+        feats = _pixel_features(tw, th)  # (8, P) tile-local monomials
+        dn = (((0,), (0,)), ((), ()))
+        if exact:
+            expnt = jax.lax.dot_general(
+                ktab, feats, dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (C, P)
+        else:
+            # recentered operands are small (<= tile^2), so a 3-pass bf16
+            # split — (k_hi + k_lo) @ (f_hi + f_lo) dropping lo@lo — holds
+            # the exponent to ~1e-3 absolute at half the HIGHEST cost
+            k_hi = ktab.astype(jnp.bfloat16)
+            k_lo = (ktab - k_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            f_hi = feats.astype(jnp.bfloat16)
+            f_lo = (feats - f_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+            def bdot(x, y):
+                return jax.lax.dot_general(
+                    x, y, dimension_numbers=dn,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
+                )
+
+            expnt = bdot(k_hi, f_hi) + (bdot(k_hi, f_lo) + bdot(k_lo, f_hi))
         depth = depth_ref[0]  # (1,P)
         # range mask: pairs outside this tile's run in the sorted table
         slot = e_chunk[g] * chunk + jax.lax.broadcasted_iota(
@@ -126,12 +141,22 @@ def _raster_kernel(
             [jnp.ones((1, p_n), jnp.float32), t_incl[:-1, :]], axis=0
         )
         weight = gmat * t_excl * t_carry  # (C,P)
-        contrib = jax.lax.dot_general(
-            rgb1, weight,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        if exact:
+            contrib = jax.lax.dot_general(
+                rgb1, weight,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        else:
+            # weights/colors are in [0,1] and the ROP itself quantizes to
+            # 8 bits; one bf16 pass is under that budget (PARITY.md #8)
+            contrib = jax.lax.dot_general(
+                rgb1.astype(jnp.bfloat16), weight.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
         acc_ref[0:4, :] = acc_ref[0:4, :] + contrib
         trans_ref[0:1, :] = t_carry * t_incl[-1:, :]
 
@@ -141,7 +166,7 @@ def _raster_kernel(
 
 
 def rasterize_pallas(binned, depth_tiles, *, image_wh, tile_wh, chunk: int,
-                     interpret: bool = False):
+                     interpret: bool = False, exact: bool = True):
     """Run the Pallas tile rasterizer.
 
     binned: output of bin_pairs. depth_tiles: [T, th*tw] per-pixel depth
@@ -157,7 +182,8 @@ def rasterize_pallas(binned, depth_tiles, *, image_wh, tile_wh, chunk: int,
     p_n = th * tw
     ne = binned["entry_tf"].shape[0]
 
-    kernel = functools.partial(_raster_kernel, tw=tw, th=th, ntx=ntx, chunk=chunk)
+    kernel = functools.partial(_raster_kernel, tw=tw, th=th, ntx=ntx,
+                               chunk=chunk, exact=exact)
     n_rows = binned["table"].shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -245,14 +271,14 @@ def rasterize_reference(binned_np, depth_tiles_np, *, image_wh, tile_wh, chunk):
         tile = int(etf[g]) & 0xFFFFFF
         ef = (int(etf[g]) >> 24) & 1
         el = (int(etf[g]) >> 25) & 1
-        tyx = (tile // ntx, tile % ntx)
         if ef:
             acc[:] = 0.0
             tcar[:] = 1.0
         if tcar.max() >= MIN_T:
             blk = table[:, ec[g] * chunk : (ec[g] + 1) * chunk]
-            px = (tyx[1] * tw + np.arange(tw)[None, :] + 0.5) * np.ones((th, 1))
-            py = (tyx[0] * th + np.arange(th)[:, None] + 0.5) * np.ones((1, tw))
+            # tile-local pixel coordinates (table k rows are recentered)
+            px = (np.arange(tw)[None, :] + 0.5) * np.ones((th, 1))
+            py = (np.arange(th)[:, None] + 0.5) * np.ones((1, tw))
             px = px.reshape(-1)
             py = py.reshape(-1)
             feats = np.stack(

@@ -63,6 +63,10 @@ def scene():
         RendererConfig(
             width=64, height=64, max_draws=128, max_stream=1 << 14,
             min_stream=1 << 11, chunk=128,
+            # the sharded-vs-single contract is exact associativity of the
+            # over-operator; test it without the fast profile's bf16/u8
+            # quantization noise (which differs per segment split)
+            exact=True,
         ),
     )
     r.configure(ud)
