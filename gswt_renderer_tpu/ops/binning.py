@@ -6,20 +6,26 @@ standard tile-binned compositor: each splat lands in every (tile_h x tile_w)
 pixel block its bbox overlaps, and within a tile splats keep front-to-back
 stream order so ordered alpha blending is exact.
 
-Performance shape (XLA gathers cost per *index*, sorts are fast):
-- pair -> splat resolution is a searchsorted + ONE 4-component gather;
-- the tile ordering is a single stable `lax.sort` carrying the splat id;
-- the raster inputs are ONE [16, P] packed table built by ONE 12-component
-  gather along the sorted order;
-- there is NO chunk-aligned re-layout: the kernel consumes fixed CHUNK-sized
-  slices of the sorted array directly, and a worklist entry (tile, chunk,
-  range) masks the pairs that belong to other tiles at run boundaries.
+Two-path expansion (the measured cost shape at 1080p is ~1.2 tiles per
+visible splat, i.e. the pair list is nearly the stream itself):
+- path 1: every visible splat emits ONE pair — its first overlapped tile —
+  at its own stream slot. No expansion machinery at all: key and payload are
+  elementwise over the stream.
+- path 2: only the EXTRA pairs of multi-tile splats (pairs - splats, ~15% of
+  the domain) go through the scatter+cummax expansion and a small
+  per-component gather.
+Both paths sort TOGETHER carrying the packed payload rows, keyed by
+(tile, stream-rank) packed into one u32 when the bits fit (i32 sort via a
+sign flip) — so per-tile runs keep exact front-to-back stream order and
+there is NO post-sort gather at all. The [16, P] raster table is then a few
+fused element passes over the sorted payload (build_pair_table).
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def grid_dims(image_wh, tile_wh):
@@ -88,8 +94,15 @@ def expand_bboxes(x0, x1, y0, y1, ok, *, ntx, n_tiles, max_pairs: int):
     return sorted_key, sorted_sp, total, overflow
 
 
-def build_worklist(sorted_key, *, n_tiles, max_pairs: int, chunk: int):
-    """Per-tile ranges + the (tile, chunk) worklist for the Pallas grid."""
+def build_worklist(sorted_key, *, n_tiles, max_pairs: int, chunk: int,
+                   max_entries: int | None = None):
+    """Per-tile ranges + the (tile, chunk) worklist for the Pallas grid.
+
+    max_entries caps the static worklist length: every grid step costs
+    ~1-2us even when its entry is dead, so the caller buckets this near the
+    OBSERVED entry count instead of the worst case (max_pairs//chunk +
+    n_tiles). Overflowing entries are dropped (their tiles would render
+    incomplete) and flagged via wl_overflow for a grow-and-retry."""
     tile_idx = jnp.arange(n_tiles, dtype=jnp.int32)
     range_start = jnp.searchsorted(sorted_key, tile_idx, side="left").astype(jnp.int32)
     range_end = jnp.searchsorted(sorted_key, tile_idx, side="right").astype(jnp.int32)
@@ -105,6 +118,8 @@ def build_worklist(sorted_key, *, n_tiles, max_pairs: int, chunk: int):
     )
     total_entries = e_offs[-1]
     ne_max = max_pairs // chunk + n_tiles
+    if max_entries is not None:
+        ne_max = min(ne_max, max_entries)
 
     ei = jnp.arange(ne_max, dtype=jnp.int32)
     t_of_e = jnp.searchsorted(e_offs, ei, side="right").astype(jnp.int32) - 1
@@ -131,6 +146,8 @@ def build_worklist(sorted_key, *, n_tiles, max_pairs: int, chunk: int):
         entry_chunk=entry_chunk,
         range_start=r_start,
         range_end=r_end,
+        n_entries=total_entries,
+        wl_overflow=total_entries > ne_max,
     )
 
 
@@ -165,28 +182,33 @@ def build_pair_table(sorted_key, dead, cx, cy, qa, qb, qc, z, r, g, b, a, *,
 
 
 def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
-              exact: bool = True):
-    """p: projection outputs (front-to-back order). Static: image_wh (W,H),
-    tile_wh (tw, th) pixels, max_pairs, chunk, exact.
+              exact: bool = True, max_entries: int | None = None):
+    """p: projection outputs (front-to-back order, S lanes). Static:
+    image_wh (W,H), tile_wh (tw, th) pixels, max_pairs, chunk, exact,
+    max_entries (worklist budget, see build_worklist).
 
-    Returns dict:
-      table — exact: [16, max_pairs] f32 rows k0..k5, z, 0, r, g, b, a, 0...
-              fast:  [5, max_pairs] packed rows cx, cy, qa|qb (bf16 pair),
-              qc|z (bf16 pair), rgba (4xu8); the raster kernel reconstructs
-              k0..k5 from (q, center) — exact algebra, so the only deviation
-              is the bf16/u8 quantization (PARITY.md #8). 5 gathered
-              components instead of 11 on the hottest gather of the frame.
-      entry_tile/entry_chunk/entry_start/entry_end/entry_first/entry_last
-        [NE] i32 (worklist; NE = max_pairs//chunk + n_tiles)
-      n_pairs i32, overflow bool
+    max_pairs budgets ONLY the path-2 (extra, multi-tile) pairs; the sort
+    domain is S + max_pairs. Returns dict:
+      table — [16, S+max_pairs] f32 rows k0..k5 (recentered to each pair's
+        tile origin, build_pair_table), z, 0, r, g, b, a, 0x4. In the fast
+        profile the payload carried through the sort is quantized (bf16 q/z,
+        u8 rgba — PARITY.md #8); exact carries f32.
+      entry_tf/entry_chunk/range_start/range_end [.] i32 (worklist;
+        NE = (S+max_pairs)//chunk + n_tiles)
+      n_pairs i32 (true pair demand), n_extra i32 (path-2 demand — bucket
+        on THIS), overflow bool
     """
     w_img, h_img = image_wh
     tw, th = tile_wh
     ntx, nty, n_tiles = grid_dims(image_wh, tile_wh)
+    bc = jax.lax.bitcast_convert_type
 
     cx, cy = p["cx"], p["cy"]
     ex, ey = p["ext_x"], p["ext_y"]
     valid = p["valid"]
+    s_n = cx.shape[0]
+    m2 = max((max_pairs // chunk) * chunk, chunk)
+    n_dom = s_n + m2
 
     x0 = jnp.clip(jnp.floor((cx - ex) / tw).astype(jnp.int32), 0, ntx - 1)
     x1 = jnp.clip(jnp.floor((cx + ex) / tw).astype(jnp.int32), 0, ntx - 1)
@@ -194,53 +216,105 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
     y1 = jnp.clip(jnp.floor((cy + ey) / th).astype(jnp.int32), 0, nty - 1)
     onscreen = (cx + ex >= 0) & (cx - ex < w_img) & (cy + ey >= 0) & (cy - ey < h_img)
     ok = valid & onscreen
-    sorted_key, sorted_sp, total, overflow = expand_bboxes(
-        x0, x1, y0, y1, ok, ntx=ntx, n_tiles=n_tiles, max_pairs=max_pairs
-    )
-    dead = sorted_key >= n_tiles
-    bc = jax.lax.bitcast_convert_type
+    nx = jnp.where(ok, x1 - x0 + 1, 0)
+    ny = jnp.where(ok, y1 - y0 + 1, 0)
+    count = nx * ny
+
+    # ---- payload rows (elementwise over the stream; no gather) ----
     cr, cg, cb, ca = p["color"]
     qa, qb, qc = p["q"]
-
     if exact:
-        # ONE 10-component f32 gather assembles the raster inputs
-        ptab = jnp.stack(
-            [p["cx"], p["cy"], qa, qb, qc, p["z"], cr, cg, cb, ca], axis=0
-        )
-        rows = ptab[:, sorted_sp]
-        cxg, cyg = rows[0], rows[1]
-        qag, qbg, qcg = rows[2], rows[3], rows[4]
-        zg = rows[5]
-        rg, gg, bg = rows[6], rows[7], rows[8]
-        ag = jnp.where(dead, 0.0, rows[9])
+        payload = [cx, cy, qa, qb, qc, p["z"], cr, cg, cb, ca]
     else:
-        # packed 5-row table: a bf16 is the top 16 bits of its f32
         def bf16_hi(x):
             return bc(x.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
 
         qab = bc((bf16_hi(qa) << 16) | bf16_hi(qb), jnp.float32)
         qcz = bc((bf16_hi(qc) << 16) | bf16_hi(p["z"]), jnp.float32)
 
-        def u8(x):
+        def u8v(x):
             return jnp.round(
                 jnp.clip(jnp.nan_to_num(x), 0.0, 1.0) * 255.0
             ).astype(jnp.uint32)
 
         rgba = bc(
-            u8(cr) | (u8(cg) << 8) | (u8(cb) << 16) | (u8(ca) << 24),
+            u8v(cr) | (u8v(cg) << 8) | (u8v(cb) << 16) | (u8v(ca) << 24),
             jnp.float32,
         )
-        ptab = jnp.stack([p["cx"], p["cy"], qab, qcz, rgba], axis=0)
-        rows = ptab[:, sorted_sp]
-        # unpack POST-gather: a handful of fused element passes over the
-        # pair arrays (~BW-free), so the raster kernel consumes the same
-        # aligned 16-row f32 table as exact mode (a 5-row kernel block
-        # mis-tiles VMEM's (8,128) and cost +30ms/frame in kernel DMA)
-        cxg = rows[0]
-        cyg = rows[1]
-        u2 = bc(rows[2], jnp.int32)
-        u3 = bc(rows[3], jnp.int32)
-        u4 = bc(jnp.where(dead, 0.0, rows[4]), jnp.int32)
+        payload = [cx, cy, qab, qcz, rgba]
+
+    # ---- sort key packing: (tile, stream-rank), u32 order via sign flip --
+    rank_bits = max(int(np.ceil(np.log2(max(s_n, 2)))), 1)
+    tile_bits = max(int(np.ceil(np.log2(n_tiles + 1))), 1)
+    packed_key = rank_bits + tile_bits <= 32
+    rank = jnp.arange(s_n, dtype=jnp.int32)
+
+    # ---- path 1: first tile of every visible splat, at its stream slot --
+    tile1 = jnp.where(ok, y0 * ntx + x0, n_tiles)
+
+    # ---- path 2: extra pairs of multi-tile splats ----
+    cnt2 = jnp.maximum(count - 1, 0)
+    offs2_incl = jnp.cumsum(cnt2, dtype=jnp.int32)
+    offs2 = offs2_incl - cnt2
+    total2 = offs2_incl[-1]
+    overflow = total2 > m2
+    scatter_to = jnp.where((cnt2 > 0) & (offs2 < m2), offs2, m2)
+    mark = jnp.full(m2, -1, jnp.int32).at[scatter_to].max(rank, mode="drop")
+    sp2 = jnp.maximum(jax.lax.cummax(mark), 0)
+    # one (2+R)-component gather resolves everything path 2 needs
+    bbox_bits = x0 | (y0 << 8) | (jnp.maximum(nx, 1) << 16)
+    g_tab = jnp.stack(
+        [bc(bbox_bits, jnp.float32), bc(offs2, jnp.float32)] + payload, axis=0
+    )
+    g_rows = g_tab[:, sp2]
+    bb2 = bc(g_rows[0], jnp.int32)
+    offs2_g = bc(g_rows[1], jnp.int32)
+    pair_i2 = jnp.arange(m2, dtype=jnp.int32)
+    live2 = pair_i2 < jnp.minimum(total2, m2)
+    k2 = pair_i2 - offs2_g + 1  # skip tile 0 (path 1 owns it)
+    nx2 = (bb2 >> 16) & 0x1FF
+    tx2 = (bb2 & 0xFF) + k2 % nx2
+    ty2 = ((bb2 >> 8) & 0xFF) + k2 // nx2
+    tile2 = jnp.where(live2, ty2 * ntx + tx2, n_tiles)
+
+    # ---- joint sort carrying payload (no post-sort gather) ----
+    tiles_all = jnp.concatenate([tile1, tile2])
+    ranks_all = jnp.concatenate([rank, sp2])
+    rows_all = [
+        jnp.concatenate([payload[i], g_rows[2 + i]])
+        for i in range(len(payload))
+    ]
+    if packed_key:
+        ukey = (
+            tiles_all.astype(jnp.uint32) << rank_bits
+        ) | ranks_all.astype(jnp.uint32)
+        ikey = bc(ukey ^ jnp.uint32(0x80000000), jnp.int32)
+        srt = jax.lax.sort([ikey] + rows_all, num_keys=1, is_stable=False)
+        ukeys = bc(srt[0], jnp.uint32) ^ jnp.uint32(0x80000000)
+        tile_of = (ukeys >> rank_bits).astype(jnp.int32)
+        rows_s = srt[1:]
+    else:
+        # (tile, rank) keys are unique, so the unstable 2-key sort is
+        # deterministic (needed when n_tiles * S exceeds 32 bits, e.g. 4K)
+        srt = jax.lax.sort(
+            [tiles_all, ranks_all] + rows_all, num_keys=2, is_stable=False
+        )
+        tile_of = srt[0]
+        rows_s = srt[2:]
+
+    dead = tile_of >= n_tiles
+    if exact:
+        cxg, cyg = rows_s[0], rows_s[1]
+        qag, qbg, qcg = rows_s[2], rows_s[3], rows_s[4]
+        zg = rows_s[5]
+        rg, gg, bg = rows_s[6], rows_s[7], rows_s[8]
+        ag = jnp.where(dead, 0.0, rows_s[9])
+    else:
+        # unpack POST-sort: fused element passes over the pair arrays
+        cxg, cyg = rows_s[0], rows_s[1]
+        u2 = bc(rows_s[2], jnp.int32)
+        u3 = bc(rows_s[3], jnp.int32)
+        u4 = bc(jnp.where(dead, 0.0, rows_s[4]), jnp.int32)
         hi = jnp.int32(-65536)  # 0xFFFF0000
         qag = bc(u2 & hi, jnp.float32)
         qbg = bc(u2 << 16, jnp.float32)
@@ -253,16 +327,19 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
         ag = ((u4 >> 24) & 0xFF).astype(jnp.float32) * inv255
 
     table = build_pair_table(
-        sorted_key, dead, cxg, cyg, qag, qbg, qcg, zg, rg, gg, bg, ag,
+        tile_of, dead, cxg, cyg, qag, qbg, qcg, zg, rg, gg, bg, ag,
         ntx=ntx, n_tiles=n_tiles, tile_wh=tile_wh,
     )
 
-    wl = build_worklist(sorted_key, n_tiles=n_tiles, max_pairs=max_pairs,
-                        chunk=chunk)
+    wl = build_worklist(tile_of, n_tiles=n_tiles, max_pairs=n_dom,
+                        chunk=chunk, max_entries=max_entries)
+    n_live1 = jnp.sum(ok.astype(jnp.int32))
+    wl_overflow = wl.pop("wl_overflow")
     return dict(
         table=table,
         **wl,
-        n_pairs=total,
-        overflow=overflow,
+        n_pairs=n_live1 + total2,
+        n_extra=total2,
+        overflow=overflow | wl_overflow,
         grid_info=(ntx, nty),
     )

@@ -75,11 +75,13 @@ class RendererConfig:
     max_draws: int = 16384
     max_stream: int = 1 << 22
     min_stream: int = 1 << 14
-    # first-frame pair budget = stream_bucket * pairs_factor; measured
-    # pairs/stream-lane is ~0.8 at 1080p and the steady-state hint uses
-    # 1.4x headroom, so 1.3 usually lands the FIRST frame on the converged
-    # bucket (one frame-variant compile); an overflow retries right-sized
-    pairs_factor: float = 1.3
+    # first-frame EXTRA-pair budget = stream_bucket * pairs_factor: binning
+    # expands only the extra tiles of multi-tile splats (ops/binning.py two-
+    # path design; every splat's first tile rides the stream itself). Extra
+    # pairs measure ~0.54/stream-lane at the 1080p bench scene; 0.85 lands
+    # the FIRST frame on the converged bucket (one frame-variant compile)
+    # instead of paying an overflow retry + recompile
+    pairs_factor: float = 0.85
     interpret: bool | None = None  # None = auto (interpret off on TPU)
     # exact=True renders bit-matched to the WGSL/oracle math; the default
     # fast profile packs the pair table (bf16 q + u8 rgba) and uses the
@@ -516,7 +518,7 @@ class Renderer:
                lod_enable, culling_dist, gs_enable, hm4, skybox_tex,
                proxy_tex, *,
                surface_type, draw_mode, point_cloud, use_skybox, use_proxy,
-               proxy_opts, max_pairs=None):
+               proxy_opts, max_pairs=None, max_entries=None):
         # the projection math needs true f32: default bf16 MXU passes break
         # the 1e-3 parity budget
         with jax.default_matmul_precision("highest"):
@@ -539,7 +541,7 @@ class Renderer:
             )
             binned = binning.bin_pairs(
                 p, image_wh=image_wh, tile_wh=tile_wh, max_pairs=max_pairs,
-                chunk=c.chunk, exact=c.exact,
+                chunk=c.chunk, exact=c.exact, max_entries=max_entries,
             )
 
             # background + depth
@@ -573,7 +575,9 @@ class Renderer:
             # premultiplied-over: final = gs + T * background
             t_final = 1.0 - img[..., 3:4]
             out = img + t_final * bg
-            aux = dict(n_pairs=binned["n_pairs"], overflow=binned["overflow"])
+            aux = dict(n_pairs=binned["n_pairs"], n_extra=binned["n_extra"],
+                       n_entries=binned["n_entries"],
+                       overflow=binned["overflow"])
             if use_proxy:
                 aux["overflow"] = aux["overflow"] | paux["proxy_overflow"]
                 aux["proxy_pairs"] = paux["proxy_pairs"]
@@ -585,11 +589,11 @@ class Renderer:
             import time as _time
 
             self.compile_events = getattr(self, "compile_events", [])
-            self.compile_events.append((_time.time(), key[:2]))
+            self.compile_events.append((_time.time(), key[:3]))
             print(f"[gswt] compiling frame variant s_pad={key[0]} "
-                  f"max_pairs={key[1]}", file=sys.stderr)
-            (s_pad, max_pairs, surface_type, draw_mode, point_cloud,
-             use_skybox, use_proxy, proxy_opts) = key
+                  f"max_pairs={key[1]} max_entries={key[2]}", file=sys.stderr)
+            (s_pad, max_pairs, max_entries, surface_type, draw_mode,
+             point_cloud, use_skybox, use_proxy, proxy_opts) = key
             fn = functools.partial(
                 self._frame_packed,
                 surface_type=surface_type,
@@ -599,6 +603,7 @@ class Renderer:
                 use_proxy=use_proxy,
                 proxy_opts=dict(proxy_opts),
                 max_pairs=max_pairs,
+                max_entries=max_entries,
             )
             self._frame_jit[key] = jax.jit(fn)
         return self._frame_jit[key]
@@ -612,20 +617,43 @@ class Renderer:
         return _next_pow2(max(int(hint * 1.3), 1 << 12), 1 << 12, 1 << 22)
 
     def _pairs_bucket(self, s_pad: int) -> int:
-        """Adaptive pair budget: bucket on the last observed pair count with
-        40% headroom (overflow triggers a doubled retry)."""
+        """Adaptive EXTRA-pair budget (path-2 pairs of ops/binning.py; the
+        first tile of every splat is budgeted by the stream itself): bucket
+        on the last observed extra-pair count with headroom (overflow grows
+        it for subsequent frames)."""
         c = self.cfg
         hint = getattr(self, "_pairs_hint", None)
         if hint is None:
             want = int(s_pad * c.pairs_factor)
         else:
-            # 1.4x headroom over the session max: transient pair spikes of
-            # ~25% between warmup samples are real (a tighter 1.15x bucket
-            # overflowed mid-benchmark and paid a 40s recompile inside the
-            # timed run — far worse than the ~8% per-frame cost)
-            want = int(hint * 1.4)
+            # 1.5x headroom over the session max: extra-pair counts are a
+            # small fraction of the stream and swing relatively harder than
+            # total pairs; a mid-benchmark bucket flip costs a full frame
+            # recompile, which dwarfs the padding cost
+            want = int(hint * 1.5)
         want = max(want, c.chunk)
         return _next_pow2(want, c.chunk, 1 << 24)
+
+    def _ne_bucket(self, s_pad: int, max_pairs: int) -> int:
+        """Adaptive worklist-entry budget: every Pallas grid step costs
+        ~1-2us even when dead, so the static entry count is bucketed near
+        the observed per-frame entry count instead of the worst case
+        ((domain)/chunk + n_tiles). Overflow (dropped far tiles) flags
+        aux['overflow'] and grows the bucket like the pair budget."""
+        c = self.cfg
+        ntx = -(-c.width // c.tile_w)
+        nty = -(-c.height // c.tile_h)
+        n_tiles = ntx * nty
+        cap = (s_pad + max_pairs) // c.chunk + n_tiles
+        hint = getattr(self, "_ne_hint", None)
+        if hint is None:
+            # live entries ~ live pairs/chunk + n_tiles; seed from the pair
+            # budget (true pair demand is usually under s_pad at first)
+            want = int((s_pad // c.chunk) * 0.9) + n_tiles
+        else:
+            want = int(hint * 1.3) + 256
+        want = min(max(want, n_tiles + 1024), cap)
+        return min(_next_pow2(want, 1 << 10, 1 << 24), cap)
 
     def stage(self, dt: DrawTable, camera: Camera | None = None,
               culling_dist: float = 1.0):
@@ -721,9 +749,11 @@ class Renderer:
         )
         self.last_overflow_retries = 0
         for _attempt in range(3):
+            mp = self._pairs_bucket(staged["s_pad"])
             key = (
                 staged["s_pad"],
-                self._pairs_bucket(staged["s_pad"]),
+                mp,
+                self._ne_bucket(staged["s_pad"], mp),
                 int(scene.surface_type),
                 int(rc.draw_mode),
                 bool(rc.draw_point_cloud),
@@ -752,13 +782,16 @@ class Renderer:
             # the whole frame; aux alone is computed before the rasterizer)
             fetched = jax.device_get((aux, img[0, 0, 0]))
             self.last_aux = fetched[0]
-            # grow-only hint: shrinking would flip buckets and recompile
+            # grow-only hints: shrinking would flip buckets and recompile
             self._pairs_hint = max(
-                int(self.last_aux["n_pairs"]), getattr(self, "_pairs_hint", 1) or 1
+                int(self.last_aux["n_extra"]), getattr(self, "_pairs_hint", 1) or 1
+            )
+            self._ne_hint = max(
+                int(self.last_aux["n_entries"]), getattr(self, "_ne_hint", 1) or 1
             )
             if not bool(self.last_aux["overflow"]):
                 break
-            # overflow: n_pairs is the TRUE demand (binning counts before
+            # overflow: n_extra is the TRUE demand (binning counts before
             # clamping), and the hint already absorbed it above — re-render
             # with the right-sized budget for a complete frame
             self.last_overflow_retries += 1
@@ -771,7 +804,10 @@ class Renderer:
         fetched = jax.device_get((aux, img[0, 0, 0]))
         self.last_aux = fetched[0]
         self._pairs_hint = max(
-            int(self.last_aux["n_pairs"]), getattr(self, "_pairs_hint", 1) or 1
+            int(self.last_aux["n_extra"]), getattr(self, "_pairs_hint", 1) or 1
+        )
+        self._ne_hint = max(
+            int(self.last_aux["n_entries"]), getattr(self, "_ne_hint", 1) or 1
         )
         if bool(self.last_aux["overflow"]):
             # too late to retry this frame (it already rendered truncated);
