@@ -45,6 +45,8 @@ def main():
     draw = staged["draw"]
     s_pad = staged["s_pad"]
     max_pairs = r._pairs_bucket(s_pad)
+    max_live = r._live_bucket(s_pad)
+    max_entries = r._ne_bucket(s_pad, max_pairs, max_live)
     uniforms = jnp.asarray(
         r.pack_frame_uniforms(
             sp, CameraUniforms(camera), [True] * 16, rc.culling_dist
@@ -86,7 +88,8 @@ def main():
         with jax.default_matmul_precision("highest"):
             binned = binning.bin_pairs(
                 p, image_wh=image_wh, tile_wh=tile_wh, max_pairs=max_pairs,
-                chunk=c.chunk, exact=c.exact,
+                chunk=c.chunk, exact=c.exact, max_entries=max_entries,
+                max_live=max_live,
             )
         return binned
 
@@ -118,18 +121,20 @@ def main():
         jf = jax.jit(f)
         t0 = time.time()
         out = jf(*argsv)
-        jax.block_until_ready(out)
+        # axon's block_until_ready does NOT block on execution; a d2h fetch
+        # of the (scalar) output is the only real completion barrier
+        _ = jax.device_get(out)
         print(f"[stage] {name}: compile+1st {time.time()-t0:.1f}s",
               file=sys.stderr)
         ts = []
         for _ in range(args.n):
             t0 = time.time()
-            jax.block_until_ready(jf(*argsv))
+            _ = jax.device_get(jf(*argsv))
             ts.append((time.time() - t0) * 1e3)
         results[name] = float(np.median(ts))
         print(f"[stage] {name}: median {results[name]:.1f} ms", file=sys.stderr)
     ks = list(results)
-    print(f"\n[stage] breakdown (medians incl. ~40ms sync):", file=sys.stderr)
+    print(f"\n[stage] breakdown (medians incl. ~27ms dispatch+fetch round trip):", file=sys.stderr)
     print(f"  project          {results[ks[0]]:.1f} ms", file=sys.stderr)
     print(f"  binning          {results[ks[1]] - results[ks[0]]:.1f} ms",
           file=sys.stderr)

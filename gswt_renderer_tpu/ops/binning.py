@@ -6,16 +6,19 @@ standard tile-binned compositor: each splat lands in every (tile_h x tile_w)
 pixel block its bbox overlaps, and within a tile splats keep front-to-back
 stream order so ordered alpha blending is exact.
 
-Two-path expansion (the measured cost shape at 1080p is ~1.2 tiles per
-visible splat, i.e. the pair list is nearly the stream itself):
-- path 1: every visible splat emits ONE pair — its first overlapped tile —
-  at its own stream slot. No expansion machinery at all: key and payload are
-  elementwise over the stream.
-- path 2: only the EXTRA pairs of multi-tile splats (pairs - splats, ~15% of
-  the domain) go through the scatter+cummax expansion and a small
-  per-component gather.
-Both paths sort TOGETHER carrying the packed payload rows, keyed by
-(tile, stream-rank) packed into one u32 when the bits fit (i32 sort via a
+Cost shape on TPU: sorts are cheap per lane, gathers and scatters are
+expensive per index, and the padded stream is mostly culled splats (~70%
+dead at the 1080p bench). bin_pairs therefore:
+1. COMPACTS the stream to its live splats with one payload-carrying sort
+   (keys = stream slots, so front-to-back order is preserved) — every
+   downstream domain shrinks to the adaptive max_live bucket;
+2. emits each splat's FIRST and SECOND overlapped tiles elementwise at its
+   own compacted slot (the vast majority of the pair mass needs no
+   expansion machinery at all);
+3. expands only the k>=2 extras of 3+-tile splats via scatter+cummax plus
+   one small per-component gather.
+All paths sort TOGETHER carrying the packed payload rows, keyed by
+(tile, live-rank) packed into one u32 when the bits fit (i32 sort via a
 sign flip) — so per-tile runs keep exact front-to-back stream order and
 there is NO post-sort gather at all. The [16, P] raster table is then a few
 fused element passes over the sorted payload (build_pair_table).
@@ -182,21 +185,34 @@ def build_pair_table(sorted_key, dead, cx, cy, qa, qb, qc, z, r, g, b, a, *,
 
 
 def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
-              exact: bool = True, max_entries: int | None = None):
+              exact: bool = True, max_entries: int | None = None,
+              max_live: int | None = None):
     """p: projection outputs (front-to-back order, S lanes). Static:
     image_wh (W,H), tile_wh (tw, th) pixels, max_pairs, chunk, exact,
-    max_entries (worklist budget, see build_worklist).
+    max_entries (worklist budget, see build_worklist), max_live (live-splat
+    compaction bucket; None or >= S disables compaction).
 
-    max_pairs budgets ONLY the path-2 (extra, multi-tile) pairs; the sort
-    domain is S + max_pairs. Returns dict:
-      table — [16, S+max_pairs] f32 rows k0..k5 (recentered to each pair's
-        tile origin, build_pair_table), z, 0, r, g, b, a, 0x4. In the fast
-        profile the payload carried through the sort is quantized (bf16 q/z,
-        u8 rgba — PARITY.md #8); exact carries f32.
-      entry_tf/entry_chunk/range_start/range_end [.] i32 (worklist;
-        NE = (S+max_pairs)//chunk + n_tiles)
-      n_pairs i32 (true pair demand), n_extra i32 (path-2 demand — bucket
-        on THIS), overflow bool
+    Three-path expansion over a LIVE-COMPACTED stream:
+    - compaction: one payload-carrying sort moves the visible splats to a
+      contiguous [0, n_live) prefix (keys = stream slots, so live order is
+      preserved); all downstream domains shrink from S (the padded stream,
+      often ~70% culled) to max_live.
+    - paths k=0 and k=1: a splat's first and second overlapped tiles are
+      emitted ELEMENTWISE at its own compacted slot — no expansion
+      machinery for ~the entire pair mass.
+    - path k>=2: only the remaining extras of 3+-tile splats go through the
+      scatter+cummax expansion and a small per-component gather; max_pairs
+      budgets ONLY these.
+
+    The sort domain is 2*max_live + max_pairs. Returns dict:
+      table — [16, dom] f32 rows k0..k5 (recentered to each pair's tile
+        origin, build_pair_table), z, 0, r, g, b, a, 0x4. In the fast
+        profile the payload carried through the sorts is quantized (bf16
+        q/z, u8 rgba — PARITY.md #8); exact carries f32.
+      entry_tf/entry_chunk/range_start/range_end [.] i32 (worklist)
+      n_pairs i32 (true pair demand), n_extra i32 (k>=2 demand — bucket
+        max_pairs on THIS), n_live i32 (bucket max_live on THIS),
+      overflow bool
     """
     w_img, h_img = image_wh
     tw, th = tile_wh
@@ -208,7 +224,6 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
     valid = p["valid"]
     s_n = cx.shape[0]
     m2 = max((max_pairs // chunk) * chunk, chunk)
-    n_dom = s_n + m2
 
     x0 = jnp.clip(jnp.floor((cx - ex) / tw).astype(jnp.int32), 0, ntx - 1)
     x1 = jnp.clip(jnp.floor((cx + ex) / tw).astype(jnp.int32), 0, ntx - 1)
@@ -218,7 +233,14 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
     ok = valid & onscreen
     nx = jnp.where(ok, x1 - x0 + 1, 0)
     ny = jnp.where(ok, y1 - y0 + 1, 0)
-    count = nx * ny
+    # bbox rides the compaction sort as ONE packed i32 row: x0 | y0<<8 |
+    # (nx-1)<<16 | (ny-1)<<24 (grid_dims guarantees <= 256 tiles per axis,
+    # so every field fits 8 bits; the (ny-1)<<24 sign wrap is benign)
+    bbox_bits = (
+        x0 | (y0 << 8)
+        | ((jnp.maximum(nx, 1) - 1) << 16)
+        | ((jnp.maximum(ny, 1) - 1) << 24)
+    )
 
     # ---- payload rows (elementwise over the stream; no gather) ----
     cr, cg, cb, ca = p["color"]
@@ -243,46 +265,76 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
         )
         payload = [cx, cy, qab, qcz, rgba]
 
-    # ---- sort key packing: (tile, stream-rank), u32 order via sign flip --
-    rank_bits = max(int(np.ceil(np.log2(max(s_n, 2)))), 1)
+    # ---- live compaction: visible splats to a contiguous prefix ----
+    n_live = jnp.sum(ok.astype(jnp.int32))
+    l_pad = s_n if max_live is None else max(min(max_live, s_n), chunk)
+    l_pad = (l_pad // chunk) * chunk
+    if l_pad < s_n:
+        slot = jnp.arange(s_n, dtype=jnp.int32)
+        ckey = jnp.where(ok, slot, slot | jnp.int32(1 << 30))
+        csrt = jax.lax.sort(
+            [ckey, bbox_bits] + payload, num_keys=1, is_stable=False
+        )
+        bbox_c = csrt[1][:l_pad]
+        payload_c = [r[:l_pad] for r in csrt[2:]]
+        live = jnp.arange(l_pad, dtype=jnp.int32) < n_live
+        live_overflow = n_live > l_pad
+    else:
+        bbox_c = bbox_bits
+        payload_c = payload
+        live = ok
+        live_overflow = jnp.bool_(False)
+
+    x0c = bbox_c & 0xFF
+    y0c = (bbox_c >> 8) & 0xFF
+    nxc = ((bbox_c >> 16) & 0xFF) + 1
+    countc = jnp.where(live, nxc * (((bbox_c >> 24) & 0xFF) + 1), 0)
+    rank = jnp.arange(l_pad, dtype=jnp.int32)
+
+    # ---- sort key packing: (tile, live-rank), u32 order via sign flip ----
+    rank_bits = max(int(np.ceil(np.log2(max(l_pad, 2)))), 1)
     tile_bits = max(int(np.ceil(np.log2(n_tiles + 1))), 1)
     packed_key = rank_bits + tile_bits <= 32
-    rank = jnp.arange(s_n, dtype=jnp.int32)
 
-    # ---- path 1: first tile of every visible splat, at its stream slot --
-    tile1 = jnp.where(ok, y0 * ntx + x0, n_tiles)
+    # ---- paths k=0, k=1: first two tiles, elementwise at own slot ----
+    # enumeration k -> (x0 + k%nx, y0 + k//nx): k=0 is (x0, y0); k=1 is
+    # (x0+1, y0) when nx >= 2 else (x0, y0+1)
+    tile1 = jnp.where(live, y0c * ntx + x0c, n_tiles)
+    two = nxc >= 2
+    t1b = (y0c + jnp.where(two, 0, 1)) * ntx + x0c + jnp.where(two, 1, 0)
+    tile1b = jnp.where(live & (countc >= 2), t1b, n_tiles)
 
-    # ---- path 2: extra pairs of multi-tile splats ----
-    cnt2 = jnp.maximum(count - 1, 0)
+    # ---- path k>=2: extras of 3+-tile splats via scatter+cummax ----
+    cnt2 = jnp.maximum(countc - 2, 0)
     offs2_incl = jnp.cumsum(cnt2, dtype=jnp.int32)
     offs2 = offs2_incl - cnt2
     total2 = offs2_incl[-1]
-    overflow = total2 > m2
+    overflow = (total2 > m2) | live_overflow
     scatter_to = jnp.where((cnt2 > 0) & (offs2 < m2), offs2, m2)
     mark = jnp.full(m2, -1, jnp.int32).at[scatter_to].max(rank, mode="drop")
     sp2 = jnp.maximum(jax.lax.cummax(mark), 0)
-    # one (2+R)-component gather resolves everything path 2 needs
-    bbox_bits = x0 | (y0 << 8) | (jnp.maximum(nx, 1) << 16)
+    # one (2+R)-component gather resolves everything path k>=2 needs
     g_tab = jnp.stack(
-        [bc(bbox_bits, jnp.float32), bc(offs2, jnp.float32)] + payload, axis=0
+        [bc(bbox_c, jnp.float32), bc(offs2, jnp.float32)] + payload_c, axis=0
     )
     g_rows = g_tab[:, sp2]
     bb2 = bc(g_rows[0], jnp.int32)
     offs2_g = bc(g_rows[1], jnp.int32)
     pair_i2 = jnp.arange(m2, dtype=jnp.int32)
     live2 = pair_i2 < jnp.minimum(total2, m2)
-    k2 = pair_i2 - offs2_g + 1  # skip tile 0 (path 1 owns it)
-    nx2 = (bb2 >> 16) & 0x1FF
+    k2 = pair_i2 - offs2_g + 2  # k = 0, 1 ride the stream itself
+    nx2 = ((bb2 >> 16) & 0xFF) + 1
     tx2 = (bb2 & 0xFF) + k2 % nx2
     ty2 = ((bb2 >> 8) & 0xFF) + k2 // nx2
     tile2 = jnp.where(live2, ty2 * ntx + tx2, n_tiles)
 
     # ---- joint sort carrying payload (no post-sort gather) ----
-    tiles_all = jnp.concatenate([tile1, tile2])
-    ranks_all = jnp.concatenate([rank, sp2])
+    n_dom = 2 * l_pad + m2
+    tiles_all = jnp.concatenate([tile1, tile1b, tile2])
+    ranks_all = jnp.concatenate([rank, rank, sp2])
     rows_all = [
-        jnp.concatenate([payload[i], g_rows[2 + i]])
-        for i in range(len(payload))
+        jnp.concatenate([payload_c[i], payload_c[i], g_rows[2 + i]])
+        for i in range(len(payload_c))
     ]
     if packed_key:
         ukey = (
@@ -333,13 +385,14 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
 
     wl = build_worklist(tile_of, n_tiles=n_tiles, max_pairs=n_dom,
                         chunk=chunk, max_entries=max_entries)
-    n_live1 = jnp.sum(ok.astype(jnp.int32))
+    n_live1b = jnp.sum((tile1b < n_tiles).astype(jnp.int32))
     wl_overflow = wl.pop("wl_overflow")
     return dict(
         table=table,
         **wl,
-        n_pairs=n_live1 + total2,
+        n_pairs=n_live + n_live1b + total2,
         n_extra=total2,
+        n_live=n_live,
         overflow=overflow | wl_overflow,
         grid_info=(ntx, nty),
     )

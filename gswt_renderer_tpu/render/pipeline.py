@@ -75,13 +75,16 @@ class RendererConfig:
     max_draws: int = 16384
     max_stream: int = 1 << 22
     min_stream: int = 1 << 14
-    # first-frame EXTRA-pair budget = stream_bucket * pairs_factor: binning
-    # expands only the extra tiles of multi-tile splats (ops/binning.py two-
-    # path design; every splat's first tile rides the stream itself). Extra
-    # pairs measure ~0.54/stream-lane at the 1080p bench scene; 0.85 lands
-    # the FIRST frame on the converged bucket (one frame-variant compile)
-    # instead of paying an overflow retry + recompile
-    pairs_factor: float = 0.85
+    # first-frame budgets as fractions of the stream bucket, chosen to land
+    # the FIRST frame on the converged adaptive bucket (one frame-variant
+    # compile) instead of paying an overflow retry + recompile:
+    # - pairs_factor seeds the k>=2 extra-pair budget (ops/binning.py path
+    #   3; tiles k=0,1 ride the compacted stream) — measured ~0.29/lane at
+    #   the 1080p bench scene
+    # - live_factor seeds the live-splat compaction bucket — measured
+    #   ~0.28/lane (the stream is mostly culled splats at typical cameras)
+    pairs_factor: float = 0.45
+    live_factor: float = 0.5
     interpret: bool | None = None  # None = auto (interpret off on TPU)
     # exact=True renders bit-matched to the WGSL/oracle math; the default
     # fast profile packs the pair table (bf16 q + u8 rgba) and uses the
@@ -518,7 +521,8 @@ class Renderer:
                lod_enable, culling_dist, gs_enable, hm4, skybox_tex,
                proxy_tex, *,
                surface_type, draw_mode, point_cloud, use_skybox, use_proxy,
-               proxy_opts, max_pairs=None, max_entries=None):
+               proxy_opts, max_pairs=None, max_entries=None,
+               max_live=None):
         # the projection math needs true f32: default bf16 MXU passes break
         # the 1e-3 parity budget
         with jax.default_matmul_precision("highest"):
@@ -542,6 +546,7 @@ class Renderer:
             binned = binning.bin_pairs(
                 p, image_wh=image_wh, tile_wh=tile_wh, max_pairs=max_pairs,
                 chunk=c.chunk, exact=c.exact, max_entries=max_entries,
+                max_live=max_live,
             )
 
             # background + depth
@@ -577,6 +582,7 @@ class Renderer:
             out = img + t_final * bg
             aux = dict(n_pairs=binned["n_pairs"], n_extra=binned["n_extra"],
                        n_entries=binned["n_entries"],
+                       n_live=binned["n_live"],
                        overflow=binned["overflow"])
             if use_proxy:
                 aux["overflow"] = aux["overflow"] | paux["proxy_overflow"]
@@ -589,11 +595,12 @@ class Renderer:
             import time as _time
 
             self.compile_events = getattr(self, "compile_events", [])
-            self.compile_events.append((_time.time(), key[:3]))
+            self.compile_events.append((_time.time(), key[:4]))
             print(f"[gswt] compiling frame variant s_pad={key[0]} "
-                  f"max_pairs={key[1]} max_entries={key[2]}", file=sys.stderr)
-            (s_pad, max_pairs, max_entries, surface_type, draw_mode,
-             point_cloud, use_skybox, use_proxy, proxy_opts) = key
+                  f"max_pairs={key[1]} max_entries={key[2]} "
+                  f"max_live={key[3]}", file=sys.stderr)
+            (s_pad, max_pairs, max_entries, max_live, surface_type,
+             draw_mode, point_cloud, use_skybox, use_proxy, proxy_opts) = key
             fn = functools.partial(
                 self._frame_packed,
                 surface_type=surface_type,
@@ -604,6 +611,7 @@ class Renderer:
                 proxy_opts=dict(proxy_opts),
                 max_pairs=max_pairs,
                 max_entries=max_entries,
+                max_live=max_live,
             )
             self._frame_jit[key] = jax.jit(fn)
         return self._frame_jit[key]
@@ -634,7 +642,24 @@ class Renderer:
         want = max(want, c.chunk)
         return _next_pow2(want, c.chunk, 1 << 24)
 
-    def _ne_bucket(self, s_pad: int, max_pairs: int) -> int:
+    def _live_bucket(self, s_pad: int) -> int:
+        """Adaptive live-splat compaction bucket (ops/binning.py): the
+        padded stream is mostly culled splats at typical cameras, so every
+        binning domain downstream of the compaction sort shrinks to this.
+        Seeded from live_factor; grows on observed n_live (overflow retries
+        like the pair budget). Capped at s_pad = compaction disabled."""
+        c = self.cfg
+        hint = getattr(self, "_live_hint", None)
+        if hint is None:
+            want = int(s_pad * c.live_factor)
+        else:
+            # live counts swing with the camera; 1.35x headroom over the
+            # session max avoids mid-run bucket flips
+            want = int(hint * 1.35)
+        want = max(want, c.chunk)
+        return min(_next_pow2(want, c.chunk, 1 << 24), s_pad)
+
+    def _ne_bucket(self, s_pad: int, max_pairs: int, max_live: int) -> int:
         """Adaptive worklist-entry budget: every Pallas grid step costs
         ~1-2us even when dead, so the static entry count is bucketed near
         the observed per-frame entry count instead of the worst case
@@ -644,12 +669,11 @@ class Renderer:
         ntx = -(-c.width // c.tile_w)
         nty = -(-c.height // c.tile_h)
         n_tiles = ntx * nty
-        cap = (s_pad + max_pairs) // c.chunk + n_tiles
+        cap = (2 * max_live + max_pairs) // c.chunk + n_tiles
         hint = getattr(self, "_ne_hint", None)
         if hint is None:
-            # live entries ~ live pairs/chunk + n_tiles; seed from the pair
-            # budget (true pair demand is usually under s_pad at first)
-            want = int((s_pad // c.chunk) * 0.9) + n_tiles
+            # live entries ~ live pairs/chunk + n_tiles
+            want = (2 * max_live + max_pairs) // c.chunk + n_tiles
         else:
             want = int(hint * 1.3) + 256
         want = min(max(want, n_tiles + 1024), cap)
@@ -750,10 +774,12 @@ class Renderer:
         self.last_overflow_retries = 0
         for _attempt in range(3):
             mp = self._pairs_bucket(staged["s_pad"])
+            ml = self._live_bucket(staged["s_pad"])
             key = (
                 staged["s_pad"],
                 mp,
-                self._ne_bucket(staged["s_pad"], mp),
+                self._ne_bucket(staged["s_pad"], mp, ml),
+                ml,
                 int(scene.surface_type),
                 int(rc.draw_mode),
                 bool(rc.draw_point_cloud),
@@ -789,6 +815,9 @@ class Renderer:
             self._ne_hint = max(
                 int(self.last_aux["n_entries"]), getattr(self, "_ne_hint", 1) or 1
             )
+            self._live_hint = max(
+                int(self.last_aux["n_live"]), getattr(self, "_live_hint", 1) or 1
+            )
             if not bool(self.last_aux["overflow"]):
                 break
             # overflow: n_extra is the TRUE demand (binning counts before
@@ -808,6 +837,9 @@ class Renderer:
         )
         self._ne_hint = max(
             int(self.last_aux["n_entries"]), getattr(self, "_ne_hint", 1) or 1
+        )
+        self._live_hint = max(
+            int(self.last_aux["n_live"]), getattr(self, "_live_hint", 1) or 1
         )
         if bool(self.last_aux["overflow"]):
             # too late to retry this frame (it already rendered truncated);
