@@ -164,7 +164,10 @@ def build_pair_table(sorted_key, dead, cx, cy, qa, qb, qc, z, r, g, b, a, *,
     algebraically identical to the global monomial form but with operand
     magnitudes bounded by the tile size instead of the image size — the
     raster matmul can then run reduced-precision without breaking the
-    exponent, and f32 rounding vs the per-pixel oracle math shrinks."""
+    exponent, and f32 rounding vs the per-pixel oracle math shrinks.
+
+    Row 11 carries ln(alpha) (-inf for dead/transparent pairs): the raster
+    kernel folds the alpha multiply into the exponent add."""
     tw, th = tile_wh
     tile_c = jnp.minimum(sorted_key, n_tiles - 1)
     ox = (tile_c % ntx * tw).astype(jnp.float32)
@@ -177,7 +180,7 @@ def build_pair_table(sorted_key, dead, cx, cy, qa, qb, qc, z, r, g, b, a, *,
     return jnp.stack(
         [
             -qa, -2.0 * qb, -qc, 2.0 * av, 2.0 * bv, k5,
-            z, jnp.zeros_like(z), r, g, b, a,
+            z, jnp.zeros_like(z), r, g, b, jnp.log(a),
         ]
         + [jnp.zeros_like(z)] * 4,
         axis=0,

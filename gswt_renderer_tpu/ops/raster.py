@@ -13,10 +13,16 @@ boundaries (no re-layout pass). Per chunk of C splats:
 
   expnt (C,P) = table[0:8] @ F(8,P)        -- one MXU matmul; F = per-pixel
                                               monomials [x^2,xy,y^2,x,y,1,0,0]
-  g = exp(expnt) * alpha, masked by range, the exp(-4) cutoff, depth test
-  T_excl = exclusive cumprod over the chunk (log-step scan on the VPU)
-  acc(4,P) += rgb1(4,C) @ (g * T_excl * T_carry)   -- second MXU matmul
-  T_carry *= prod(1 - g)
+  g = exp(expnt + ln(alpha)), masked by the exp(-4) cutoff (on the raw
+      quadratic) and the depth test (compiled out when there is no proxy
+      depth) -- ln(alpha) is row 11 of the pair table, so both the alpha
+      multiply and the range mask fold into the exponent add
+  T_incl = inclusive cumprod over [T_carry*(1-g_0), 1-g_1, ...], a blocked
+      two-level scan on the VPU (groups of 16: ~5 full-size passes vs 8 for
+      flat Hillis-Steele); seeding the scan with T_carry makes the weight a
+      single multiply
+  acc(4,P) += rgb1(4,C) @ (g * T_excl)     -- second MXU matmul
+  T_carry = T_incl[-1]
 
 with per-tile accumulators in VMEM, chunks of one tile consecutive, and
 whole-chunk early exit once the tile is saturated.
@@ -55,16 +61,36 @@ def _pixel_features(tw, th):
     )
 
 
-def _cumprod_inclusive(x):
-    """Hillis-Steele inclusive cumulative product along axis 0 (log-step
-    shifted multiplies; Pallas TPU has no native cumprod lowering)."""
-    c = x.shape[0]
+def _cumprod_inclusive(x, group: int = 16):
+    """Inclusive cumulative product along axis 0 (Pallas TPU has no native
+    cumprod lowering). Blocked two-level scan: Hillis-Steele within groups
+    of `group` rows, a tiny scan over the per-group totals, one broadcast
+    apply — ~log2(group)+1 full-size passes instead of log2(c)."""
+    c, p = x.shape
+    if c % group or c <= group:
+        shift = 1
+        while shift < c:
+            pad = jnp.ones((shift, p), x.dtype)
+            x = x * jnp.concatenate([pad, x[:-shift]], axis=0)
+            shift *= 2
+        return x
+    ng = c // group
+    y = x.reshape(ng, group, p)
     shift = 1
-    while shift < c:
-        pad = jnp.ones((shift, x.shape[1]), x.dtype)
-        x = x * jnp.concatenate([pad, x[:-shift]], axis=0)
+    while shift < group:
+        pad = jnp.ones((ng, shift, p), x.dtype)
+        y = y * jnp.concatenate([pad, y[:, :-shift]], axis=1)
         shift *= 2
-    return x
+    # inclusive per-group totals (ng, p); static slice + reshape (an int
+    # index lowers to an unsupported dynamic_slice in Mosaic)
+    gp = jax.lax.slice(y, (0, group - 1, 0), (ng, group, p)).reshape(ng, p)
+    shift = 1
+    while shift < ng:
+        pad = jnp.ones((shift, p), x.dtype)
+        gp = gp * jnp.concatenate([pad, gp[:-shift]], axis=0)
+        shift *= 2
+    excl = jnp.concatenate([jnp.ones((1, p), x.dtype), gp[:-1]], axis=0)
+    return (y * excl[:, None, :]).reshape(c, p)
 
 
 def _raster_kernel(
@@ -76,7 +102,7 @@ def _raster_kernel(
     out_ref,
     # scratch
     acc_ref, trans_ref,
-    *, tw, th, ntx, chunk, exact,
+    *, tw, th, ntx, chunk, exact, use_depth,
 ):
     g = pl.program_id(0)
     tf = e_tf[g]
@@ -95,13 +121,13 @@ def _raster_kernel(
     # skip saturated tiles (early exit) and dead worklist entries
     @pl.when((jnp.max(t_carry) >= MIN_T) & (r_start[tile] < r_end[tile]))
     def _():
-        table = table_ref[:]  # (16, C): k0..k5, z, 0, r, g, b, a
+        table = table_ref[:]  # (16, C): k0..k5, z, 0, r, g, b, ln(a)
         ktab = table[0:8]
         rgb1 = jnp.concatenate(
             [table[8:11], jnp.ones((1, chunk), jnp.float32)], axis=0
         )
         z = table[6, :][:, None]  # (C,1)
-        alpha = table[11, :][:, None]  # (C,1)
+        ln_alpha = table[11, :][:, None]  # (C,1)
         feats = _pixel_features(tw, th)  # (8, P) tile-local monomials
         dn = (((0,), (0,)), ((), ()))
         if exact:
@@ -127,20 +153,27 @@ def _raster_kernel(
                 )
 
             expnt = bdot(k_hi, f_hi) + (bdot(k_hi, f_lo) + bdot(k_lo, f_hi))
-        depth = depth_ref[0]  # (1,P)
-        # range mask: pairs outside this tile's run in the sorted table
+        # range mask folds into the per-splat exponent shift: masked lanes
+        # get ln(alpha) = -inf so exp() zeroes them with no extra pass
         slot = e_chunk[g] * chunk + jax.lax.broadcasted_iota(
             jnp.int32, (chunk, 1), 0
         )
         in_run = (slot >= r_start[tile]) & (slot < r_end[tile])
-        gmat = jnp.exp(expnt) * alpha
-        mask = in_run & (expnt >= CUTOFF) & (z < depth)
-        gmat = jnp.where(mask, gmat, 0.0)
-        t_incl = _cumprod_inclusive(1.0 - gmat)
-        t_excl = jnp.concatenate(
-            [jnp.ones((1, p_n), jnp.float32), t_incl[:-1, :]], axis=0
-        )
-        weight = gmat * t_excl * t_carry  # (C,P)
+        ln_eff = jnp.where(in_run, ln_alpha, -jnp.inf)  # (C,1)
+        shifted = expnt + ln_eff
+        # the exp(-4) discard (gswt.wgsl:427-430) tests the raw quadratic
+        mask = expnt >= CUTOFF
+        if use_depth:
+            depth = depth_ref[0]  # (1,P)
+            mask = mask & (z < depth)
+        gmat = jnp.where(mask, jnp.exp(shifted), 0.0)
+        t = 1.0 - gmat
+        # seed the scan with the carry: t_incl[i] then IS the full
+        # transmittance prefix and the weight needs a single multiply
+        t = jnp.concatenate([t[0:1, :] * t_carry, t[1:, :]], axis=0)
+        t_incl = _cumprod_inclusive(t)
+        t_excl = jnp.concatenate([t_carry, t_incl[:-1, :]], axis=0)
+        weight = gmat * t_excl  # (C,P)
         if exact:
             contrib = jax.lax.dot_general(
                 rgb1, weight,
@@ -158,7 +191,7 @@ def _raster_kernel(
                 precision=jax.lax.Precision.DEFAULT,
             )
         acc_ref[0:4, :] = acc_ref[0:4, :] + contrib
-        trans_ref[0:1, :] = t_carry * t_incl[-1:, :]
+        trans_ref[0:1, :] = t_incl[-1:, :]
 
     @pl.when(last)
     def _():
@@ -166,7 +199,8 @@ def _raster_kernel(
 
 
 def rasterize_pallas(binned, depth_tiles, *, image_wh, tile_wh, chunk: int,
-                     interpret: bool = False, exact: bool = True):
+                     interpret: bool = False, exact: bool = True,
+                     use_depth: bool = True):
     """Run the Pallas tile rasterizer.
 
     binned: output of bin_pairs. depth_tiles: [T, th*tw] per-pixel depth
@@ -183,7 +217,7 @@ def rasterize_pallas(binned, depth_tiles, *, image_wh, tile_wh, chunk: int,
     ne = binned["entry_tf"].shape[0]
 
     kernel = functools.partial(_raster_kernel, tw=tw, th=th, ntx=ntx,
-                               chunk=chunk, exact=exact)
+                               chunk=chunk, exact=exact, use_depth=use_depth)
     n_rows = binned["table"].shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -287,11 +321,12 @@ def rasterize_reference(binned_np, depth_tiles_np, *, image_wh, tile_wh, chunk):
             ).astype(np.float32)
             expnt = blk[0:8].T @ feats
             z = blk[6, :][:, None]
-            alpha = blk[11, :][:, None]
+            ln_alpha = blk[11, :][:, None]
             slot = ec[g] * chunk + np.arange(chunk)[:, None]
             in_run = (slot >= rs[tile]) & (slot < re_[tile])
-            g_m = np.exp(expnt) * alpha
-            mask = in_run & (expnt >= CUTOFF) & (z < depth[tile][None, :])
+            ln_eff = np.where(in_run, ln_alpha, -np.inf)
+            g_m = np.exp(expnt + ln_eff)
+            mask = (expnt >= CUTOFF) & (z < depth[tile][None, :])
             g_m = np.where(mask, g_m, 0.0)
             t_incl = np.cumprod(1.0 - g_m, axis=0)
             t_excl = np.concatenate([np.ones((1, p_n), np.float32), t_incl[:-1]], axis=0)

@@ -575,6 +575,7 @@ class Renderer:
             tiles = raster.rasterize_pallas(
                 binned, depth_tiles, image_wh=image_wh, tile_wh=tile_wh,
                 chunk=c.chunk, interpret=c.interpret, exact=c.exact,
+                use_depth=bool(use_proxy),
             )
             img = raster.tiles_to_image(tiles, image_wh=image_wh, tile_wh=tile_wh)
             # premultiplied-over: final = gs + T * background
