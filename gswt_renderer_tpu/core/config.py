@@ -106,6 +106,10 @@ class UserData:
     # Filled by the wang engine on configure (structure.rs:57-64)
     tile_map_wh: Tuple[int, int] = (0, 0)
     height_map: Optional[np.ndarray] = None
+    # pre-resize source of a RANDOM height map (set by WangTileEngine
+    # .configure): enables the direct-bicubic small-map sampling fast path
+    height_map_src: Optional[np.ndarray] = None
+    height_map_src_wh: Tuple[int, int] = (0, 0)
     lod_transition_dist: Tuple[float, ...] = ()
     n_tiles: Tuple[int, int, int] = (0, 0, 0)  # (n_lod, n_tile, n_view)
 

@@ -125,8 +125,74 @@ def _sphere_uv_to_pos(u, v):
     return (jnp.cos(v) * jnp.cos(u), jnp.cos(v) * jnp.sin(u), jnp.sin(v))
 
 
+def _smallmap_resized_bilinear(hm_src, hu, hv, reso_w, reso_h):
+    """Gather-free equivalent of bilinearly sampling the bicubic-RESIZED
+    height map (the projection hot spot at 1080p: XLA gathers cost per
+    index).
+
+    The reference resizes a small [H, W] source to reso^2 by sampling its
+    Catmull-Rom surface B at grid points k/reso (wangtile.rs:1333-1349) and
+    then fetches that texture bilinearly (gswt.wgsl:569-574). Bilinear
+    weights are separable, and B is bilinear in its weight vectors, so
+
+      bilin(u, v) = wy_eff(v)^T  M  wx_eff(u),
+      wx_eff = (1-tx) wx(x0/reso) + tx wx((x0+1)/reso)   (same for y)
+
+    — i.e. snap to the resize grid, build dense wrapped cubic weight
+    columns by iota-compare (no gather), lerp them, and contract with ONE
+    [H,W] @ [W,S] MXU matmul per snapped column. Matches the gather path
+    bit-for-bit up to fp association. Also returns the analytic bilinear
+    patch derivatives in resized-texel units (the fast profile's gradient,
+    PARITY.md #8)."""
+    h_n, w_n = hm_src.shape
+    s = hu.shape[0]
+
+    def cubic_w(t):
+        return (
+            ((-0.5 * t + 1.0) * t - 0.5) * t,
+            ((1.5 * t - 2.5) * t) * t + 1.0,
+            ((-1.5 * t + 2.0) * t + 0.5) * t,
+            ((0.5 * t - 0.5) * t) * t,
+        )
+
+    def dense_at(u_grid, n):
+        # dense [n, S] cubic weight columns of the source surface at uv
+        # u_grid (lane-major: the matmul contracts the tiny axis, S stays
+        # on lanes)
+        x = u_grid * n - 0.5
+        x0 = jnp.floor(x)
+        w = cubic_w(x - x0)
+        x0i = x0.astype(jnp.int32)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n, s), 0)
+        wm = jnp.zeros((n, s), jnp.float32)
+        for i in range(4):
+            pos = (x0i + (i - 1)) % n
+            wm = wm + jnp.where(rows == pos[None, :], w[i][None, :], 0.0)
+        return wm
+
+    def snap(u, reso):
+        x = u * reso - 0.5
+        x0 = jnp.floor(x)
+        t = x - x0
+        return x0 / reso, (x0 + 1.0) / reso, t
+
+    u0, u1, tx = snap(hu, reso_w)
+    v0, v1, ty = snap(hv, reso_h)
+    t0 = hm_src @ dense_at(u0, w_n)  # [H, S]
+    t1 = hm_src @ dense_at(u1, w_n)
+    wy0 = dense_at(v0, h_n)
+    wy1 = dense_at(v1, h_n)
+    tmp = t0 + tx[None, :] * (t1 - t0)          # lerp in x -> [H, S]
+    wy = wy0 + ty[None, :] * (wy1 - wy0)        # lerp weights in y
+    height = jnp.sum(wy * tmp, axis=0)
+    dhdx = jnp.sum(wy * (t1 - t0), axis=0)      # per resized-texel
+    dhdy = jnp.sum((wy1 - wy0) * tmp, axis=0)
+    return height, dhdx, dhdy
+
+
 def surface_mapping(scene, hm4, hm_wh, px, py, map_id, single,
-                    mc_x, mc_y, surface_type: int, exact: bool = True):
+                    mc_x, mc_y, surface_type: int, exact: bool = True,
+                    hm_src=None):
     """gswt.wgsl:565-623, componentized. Returns (mx, my, mz) mapped surface
     point and the local frame as 9 [S] arrays in order
     (lx_x, lx_y, lx_z, ly_x, ly_y, ly_z, lz_x, lz_y, lz_z)."""
@@ -146,7 +212,17 @@ def surface_mapping(scene, hm4, hm_wh, px, py, map_id, single,
         hv = (py + half[1] * tw) / hy
         w, h = int(hm_wh[0]), int(hm_wh[1])
         z = hms[2]
-        if exact:
+        use_src = (
+            not exact and hm_src is not None and hm_src.shape != (1, 1)
+        )
+        if use_src:
+            height, dhdx, dhdy = _smallmap_resized_bilinear(
+                hm_src, hu, hv, w, h
+            )
+            height = height * z
+            gx = dhdx * z * w / hx
+            gy = dhdy * z * h / hy
+        elif exact:
             # reference gradient: central differences of the bilinear
             # interpolant at +-0.001 uv (gswt.wgsl:569-574) — 5 taps
             dt = 0.001
@@ -272,7 +348,7 @@ def assemble_and_project(blocks, merged, panels, keep_draw, store_packed,
                          draw_mode: int, image_wh,
                          point_cloud: bool = False,
                          gs_enable=None, interpret: bool = False,
-                         exact: bool = True):
+                         exact: bool = True, hm_src=None):
     """Assemble the front-to-back splat stream from 256-wide panels and
     project it (vs_main math, gswt.wgsl:27-422).
 
@@ -378,7 +454,7 @@ def assemble_and_project(blocks, merged, panels, keep_draw, store_packed,
     # surface mapping (gswt.wgsl:74-82)
     (mx, my, mz), fr = surface_mapping(
         scene, hm4, hm_wh, cx_w, cy_w, mid.astype(jnp.uint32), single,
-        mc_x, mc_y, surface_type, exact=exact
+        mc_x, mc_y, surface_type, exact=exact, hm_src=hm_src
     )
     fxx, fxy, fxz, fyx, fyy, fyz, fzx, fzy, fzz = fr
     if surface_type > 0:

@@ -196,12 +196,24 @@ class Renderer:
         if user_data.height_map is not None and len(user_data.height_map):
             w, h = user_data.height_map_wh
             self.height_map_wh = (int(w), int(h))
+            # small-source fast path: sample the bicubic surface of the
+            # pre-resize source directly (ops/project._smallmap_bicubic)
+            # instead of gathering from the resized 1024^2 map per splat
+            src = getattr(user_data, "height_map_src", None)
+            self.hm_src = jnp.zeros((1, 1), jnp.float32)
+            if (not self.cfg.exact) and src is not None:
+                sw, sh = user_data.height_map_src_wh
+                if sw * sh <= 4096:
+                    self.hm_src = jnp.asarray(
+                        np.asarray(src, np.float32).reshape(sh, sw)
+                    )
             self.hm4 = jnp.asarray(
                 pack_tex4(user_data.height_map, int(w), int(h))
             )
         else:
             self.height_map_wh = (1, 1)
             self.hm4 = jnp.zeros((4, 1), jnp.float32)
+            self.hm_src = jnp.zeros((1, 1), jnp.float32)
         from ..ops.proxy import make_map_grid
 
         gv, gt = make_map_grid(
@@ -508,18 +520,19 @@ class Renderer:
 
     # ------------------------------------------------------------------ #
     def _frame_packed(self, store_packed, panels, stream, draw, uniforms,
-                      hm4, skybox_tex, proxy_tex, **statics):
+                      hm4, skybox_tex, proxy_tex, hm_src=None, **statics):
         scene, cam, lod_enable, culling_dist, gs_enable = (
             self.unpack_frame_uniforms(uniforms)
         )
         return self._frame(
             store_packed, panels, stream, draw, scene, cam, lod_enable,
-            culling_dist, gs_enable, hm4, skybox_tex, proxy_tex, **statics,
+            culling_dist, gs_enable, hm4, skybox_tex, proxy_tex,
+            hm_src=hm_src, **statics,
         )
 
     def _frame(self, store_packed, panels, stream, draw, scene, cam,
                lod_enable, culling_dist, gs_enable, hm4, skybox_tex,
-               proxy_tex, *,
+               proxy_tex, hm_src=None, *,
                surface_type, draw_mode, point_cloud, use_skybox, use_proxy,
                proxy_opts, max_pairs=None, max_entries=None,
                max_live=None):
@@ -541,7 +554,7 @@ class Renderer:
                 surface_type=surface_type, draw_mode=draw_mode,
                 image_wh=image_wh, point_cloud=point_cloud,
                 gs_enable=gs_enable, interpret=c.interpret,
-                exact=c.exact,
+                exact=c.exact, hm_src=hm_src,
             )
             binned = binning.bin_pairs(
                 p, image_wh=image_wh, tile_wh=tile_wh, max_pairs=max_pairs,
@@ -797,7 +810,7 @@ class Renderer:
             )
             img, aux = fn(
                 self.store_packed, self.panels, stream, draw, uniforms,
-                self.hm4, sky, prox,
+                self.hm4, sky, prox, getattr(self, "hm_src", None),
             )
             if pipeline_depth > 0 and not as_numpy:
                 self._inflight = getattr(self, "_inflight", None) or []

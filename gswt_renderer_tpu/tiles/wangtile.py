@@ -365,8 +365,15 @@ class WangTileEngine:
         # pre-scale by tile_width * scale_z (wangtile.rs:401-403)
         hmap = hmap * np.float32(ud.tile_width * ud.height_map_scale[2])
         if ud.height_map_type == HeightMapType.RANDOM:
+            # keep the pre-resize source: the renderer can sample its
+            # bicubic surface directly (ops/project._smallmap_bicubic)
+            ud.height_map_src = hmap
+            ud.height_map_src_wh = tuple(ud.height_map_wh)
             hmap = surf.map_resize(hmap, ud.height_map_wh, (MAP_RESO, MAP_RESO))
             ud.height_map_wh = (MAP_RESO, MAP_RESO)
+        else:
+            ud.height_map_src = None
+            ud.height_map_src_wh = (0, 0)
         ud.height_map = hmap
 
         # LOD transition distances (wangtile.rs:416-423)
