@@ -167,7 +167,7 @@ class UserData:
         return c
 
     # --- checkpoint/resume -------------------------------------------------
-    _JSON_SKIP = ("height_tex", "height_map")
+    _JSON_SKIP = ("height_tex", "height_map", "height_map_src")
 
     def to_json(self) -> str:
         d = {}

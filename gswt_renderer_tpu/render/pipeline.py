@@ -402,17 +402,19 @@ class Renderer:
         blocks[4] = draw_of_block
         return blocks, merged, total, n, truncated
 
-    def prepare_draws(self, dt: DrawTable, n: int, total: int):
+    def prepare_draws(self, dt: DrawTable, n: int, total: int,
+                      d_pad: int | None = None):
         """Pad the per-draw arrays the device still needs (render-time
-        culling) to MAX_DRAWS."""
+        culling) to d_pad (grow-only bucket; default MAX_DRAWS)."""
         c = self.cfg
+        d_pad = d_pad or c.max_draws
 
         def pad_i(a, fill=0, dtype=np.int32):
-            out = np.full(c.max_draws, fill, dtype)
+            out = np.full(d_pad, fill, dtype)
             out[:n] = a[:n]
             return out
 
-        corner = np.zeros((c.max_draws, 4, 3), np.float32)
+        corner = np.zeros((d_pad, 4, 3), np.float32)
         corner[:n] = dt.corner_pos[:n]
         return dict(
             n_draws=np.int32(n),
@@ -724,7 +726,10 @@ class Renderer:
                 f"far splats (max_stream={c.max_stream})",
                 file=sys.stderr,
             )
-        draw_np = self.prepare_draws(dt, n, total)
+        d_pad = _next_pow2(max(n, 1), 256, c.max_draws)
+        d_pad = max(d_pad, getattr(self, "_dpad_floor", 0))
+        self._dpad_floor = d_pad
+        draw_np = self.prepare_draws(dt, n, total, d_pad)
         # grow-only bucketing: every new bucket is a fresh XLA compile of
         # the whole frame program, so never shrink within a session
         nb_pad = _next_pow2(
@@ -740,11 +745,46 @@ class Renderer:
         merged = np.zeros((2, m_pad), np.int32)
         k = min(merged_np.shape[1], m_pad)
         merged[:, :k] = merged_np[:, :k]
+        # ONE h2d upload per sort: each transfer costs ~45 ms latency on
+        # the tunneled dev harness (and a sync RPC on any host), so the
+        # block plan, merged scratch, and draw arrays ride a single packed
+        # i32 buffer; the pieces are carved out as device-side slices
+        # (async dispatches, no host round trip)
+        d = d_pad
+        bcv = jax.lax.bitcast_convert_type
+        segs = [
+            blocks.reshape(-1),
+            merged.reshape(-1),
+            draw_np["single_draw"],
+            draw_np["tile_lod"],
+            draw_np["has_corners"],
+            draw_np["corner_pos"].reshape(-1).view(np.int32),
+            np.array(
+                [int(draw_np["n_draws"]), int(draw_np["total_splats"])]
+                + [0] * 6,
+                np.int32,
+            ),
+        ]
+        buf = np.concatenate(segs)
+        dev = jnp.asarray(buf)
+        offs = np.cumsum([0] + [x.size for x in segs])
+
+        def take(i):
+            return dev[offs[i]:offs[i + 1]]
+
         stream = dict(
-            blocks=jnp.asarray(blocks),
-            merged=jnp.asarray(merged),
+            blocks=take(0).reshape(5, nb_pad),
+            merged=take(1).reshape(2, m_pad),
         )
-        draw = {k: jnp.asarray(v) for k, v in draw_np.items()}
+        tail = take(6)
+        draw = dict(
+            n_draws=tail[0],
+            total_splats=tail[1],
+            single_draw=take(2),
+            tile_lod=take(3),
+            has_corners=take(4),
+            corner_pos=bcv(take(5), jnp.float32).reshape(d, 4, 3),
+        )
         return dict(stream=stream, draw=draw, s_pad=nb_pad * blk)
 
     def render(self, dt: DrawTable, camera: Camera, scene: SceneParams,
