@@ -523,21 +523,31 @@ class Renderer:
     # ------------------------------------------------------------------ #
     def _frame_packed(self, store_packed, panels, stream, draw, uniforms,
                       hm4, skybox_tex, proxy_tex, hm_src=None, **statics):
+        """Whole-frame composition as ONE program (the driver entry and the
+        sharded parallel paths jit this); the interactive render path runs
+        _frame_front / _frame_back as separate programs so adaptive-bucket
+        flips recompile less and XLA-cache at a finer grain."""
+        binned, bg, depth_tiles, aux = self._frame_front(
+            store_packed, panels, stream, draw, uniforms, hm4, skybox_tex,
+            proxy_tex, hm_src=hm_src, **statics,
+        )
+        out = self._frame_back(
+            binned, bg, depth_tiles, use_proxy=statics["use_proxy"]
+        )
+        return out, aux
+
+    def _frame_front(self, store_packed, panels, stream, draw, uniforms,
+                     hm4, skybox_tex, proxy_tex, hm_src=None, *,
+                     surface_type, draw_mode, point_cloud, use_skybox,
+                     use_proxy, proxy_opts, max_pairs=None,
+                     max_entries=None, max_live=None):
+        """Program A: projection + binning + background/proxy depth.
+        Returns (binned, bg, depth_tiles, aux). Split from the raster so
+        adaptive-bucket flips recompile less and the XLA cache is shared at
+        a finer grain."""
         scene, cam, lod_enable, culling_dist, gs_enable = (
             self.unpack_frame_uniforms(uniforms)
         )
-        return self._frame(
-            store_packed, panels, stream, draw, scene, cam, lod_enable,
-            culling_dist, gs_enable, hm4, skybox_tex, proxy_tex,
-            hm_src=hm_src, **statics,
-        )
-
-    def _frame(self, store_packed, panels, stream, draw, scene, cam,
-               lod_enable, culling_dist, gs_enable, hm4, skybox_tex,
-               proxy_tex, hm_src=None, *,
-               surface_type, draw_mode, point_cloud, use_skybox, use_proxy,
-               proxy_opts, max_pairs=None, max_entries=None,
-               max_live=None):
         # the projection math needs true f32: default bf16 MXU passes break
         # the 1e-3 parity budget
         with jax.default_matmul_precision("highest"):
@@ -563,6 +573,7 @@ class Renderer:
                 chunk=c.chunk, exact=c.exact, max_entries=max_entries,
                 max_live=max_live,
             )
+            binned.pop("grid_info")
 
             # background + depth
             if use_skybox:
@@ -586,7 +597,21 @@ class Renderer:
             depth_tiles = raster.image_to_depth_tiles(
                 depth, image_wh=image_wh, tile_wh=tile_wh
             )
+            aux = dict(n_pairs=binned["n_pairs"], n_extra=binned["n_extra"],
+                       n_entries=binned["n_entries"],
+                       n_live=binned["n_live"],
+                       overflow=binned["overflow"])
+            if use_proxy:
+                aux["overflow"] = aux["overflow"] | paux["proxy_overflow"]
+                aux["proxy_pairs"] = paux["proxy_pairs"]
+            return binned, bg, depth_tiles, aux
 
+    def _frame_back(self, binned, bg, depth_tiles, *, use_proxy):
+        """Program B: Pallas rasterizer + composite over the background."""
+        with jax.default_matmul_precision("highest"):
+            c = self.cfg
+            image_wh = (c.width, c.height)
+            tile_wh = (c.tile_w, c.tile_h)
             tiles = raster.rasterize_pallas(
                 binned, depth_tiles, image_wh=image_wh, tile_wh=tile_wh,
                 chunk=c.chunk, interpret=c.interpret, exact=c.exact,
@@ -595,17 +620,14 @@ class Renderer:
             img = raster.tiles_to_image(tiles, image_wh=image_wh, tile_wh=tile_wh)
             # premultiplied-over: final = gs + T * background
             t_final = 1.0 - img[..., 3:4]
-            out = img + t_final * bg
-            aux = dict(n_pairs=binned["n_pairs"], n_extra=binned["n_extra"],
-                       n_entries=binned["n_entries"],
-                       n_live=binned["n_live"],
-                       overflow=binned["overflow"])
-            if use_proxy:
-                aux["overflow"] = aux["overflow"] | paux["proxy_overflow"]
-                aux["proxy_pairs"] = paux["proxy_pairs"]
-            return out, aux
+            return img + t_final * bg
+
+
 
     def _get_jit(self, key):
+        """Jitted FRONT program (projection + binning + background) for a
+        static-bucket key; the BACK program (_get_jit_back) is keyed only
+        by use_proxy and retraces on table shapes."""
         if key not in self._frame_jit:
             import sys
             import time as _time
@@ -618,7 +640,7 @@ class Renderer:
             (s_pad, max_pairs, max_entries, max_live, surface_type,
              draw_mode, point_cloud, use_skybox, use_proxy, proxy_opts) = key
             fn = functools.partial(
-                self._frame_packed,
+                self._frame_front,
                 surface_type=surface_type,
                 draw_mode=draw_mode,
                 point_cloud=point_cloud,
@@ -631,6 +653,15 @@ class Renderer:
             )
             self._frame_jit[key] = jax.jit(fn)
         return self._frame_jit[key]
+
+    def _get_jit_back(self, use_proxy: bool):
+        if not hasattr(self, "_back_jit"):
+            self._back_jit = {}
+        if use_proxy not in self._back_jit:
+            self._back_jit[use_proxy] = jax.jit(
+                functools.partial(self._frame_back, use_proxy=use_proxy)
+            )
+        return self._back_jit[use_proxy]
 
     def _proxy_bucket(self) -> int:
         """Adaptive proxy-triangle pair budget (same pattern as
@@ -688,8 +719,12 @@ class Renderer:
         cap = (2 * max_live + max_pairs) // c.chunk + n_tiles
         hint = getattr(self, "_ne_hint", None)
         if hint is None:
-            # live entries ~ live pairs/chunk + n_tiles
-            want = (2 * max_live + max_pairs) // c.chunk + n_tiles
+            # seed with the SAME formula the hint path uses, applied to an
+            # estimated entry count (live pairs ~ 0.85 * s_pad at 1080p),
+            # so the first frame usually lands on the converged bucket and
+            # no down-flip recompile happens on frame 2
+            est = int(s_pad * 0.85) // c.chunk + n_tiles
+            want = int(est * 1.3) + 256
         else:
             want = int(hint * 1.3) + 256
         want = min(max(want, n_tiles + 1024), cap)
@@ -842,16 +877,18 @@ class Renderer:
                 proxy_opts,
             )
             fn = self._get_jit(key)
+            fn_back = self._get_jit_back(bool(key[8]))
             uniforms = jnp.asarray(
                 self.pack_frame_uniforms(
                     scene, CameraUniforms(camera), lod_enable,
                     rc.culling_dist, render_gs=render_gs,
                 )
             )
-            img, aux = fn(
+            binned, bg, depth_tiles, aux = fn(
                 self.store_packed, self.panels, stream, draw, uniforms,
                 self.hm4, sky, prox, getattr(self, "hm_src", None),
             )
+            img = fn_back(binned, bg, depth_tiles)
             if pipeline_depth > 0 and not as_numpy:
                 self._inflight = getattr(self, "_inflight", None) or []
                 self._inflight.append((aux, img, int(key[1])))
@@ -880,10 +917,21 @@ class Renderer:
             self.last_overflow_retries += 1
         return np.asarray(jax.device_get(img)) if as_numpy else img
 
-    def _drain_one(self):
-        """Fetch the oldest in-flight frame's aux (blocks until that frame
-        is device-complete)."""
+    AUX_FETCH_EVERY = 4  # pipelined aux round trips per N frames
+
+    def _drain_one(self, fetch: bool | None = None):
+        """Pop the oldest in-flight frame; FETCH its aux only every
+        AUX_FETCH_EVERY pops (each fetch is a blocking d2h round trip,
+        ~27-45 ms on the tunneled harness — the bucket hints and overflow
+        detection tolerate a few frames of lag, and the periodic fetch
+        still provides backpressure so dispatch can't run unboundedly
+        ahead of the device)."""
         aux, img, bucket = self._inflight.pop(0)
+        self._drain_count = getattr(self, "_drain_count", 0) + 1
+        if fetch is None:
+            fetch = self._drain_count % self.AUX_FETCH_EVERY == 0
+        if not fetch:
+            return
         fetched = jax.device_get((aux, img[0, 0, 0]))
         self.last_aux = fetched[0]
         self._pairs_hint = max(
@@ -904,4 +952,4 @@ class Renderer:
     def drain(self):
         """Block until all in-flight pipelined frames are device-complete."""
         while getattr(self, "_inflight", None):
-            self._drain_one()
+            self._drain_one(fetch=len(self._inflight) == 1)
