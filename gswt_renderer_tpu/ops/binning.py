@@ -321,16 +321,16 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
         rank, mode="drop", unique_indices=True
     )
     sp2 = jnp.maximum(jax.lax.cummax(mark), 0)
-    # one (2+R)-component gather resolves everything path k>=2 needs
-    g_tab = jnp.stack(
-        [bc(bbox_c, jnp.float32), bc(offs2, jnp.float32)] + payload_c, axis=0
-    )
+    # one (1+R)-component gather resolves everything path k>=2 needs: the
+    # owner's first-pair offset is NOT gathered — it equals the slot where
+    # sp2 last changed, recovered by a cummax over the change marks
+    g_tab = jnp.stack([bc(bbox_c, jnp.float32)] + payload_c, axis=0)
     g_rows = g_tab[:, sp2]
     bb2 = bc(g_rows[0], jnp.int32)
-    offs2_g = bc(g_rows[1], jnp.int32)
     pair_i2 = jnp.arange(m2, dtype=jnp.int32)
+    run_start = jax.lax.cummax(jnp.where(mark >= 0, pair_i2, -1))
     live2 = pair_i2 < jnp.minimum(total2, m2)
-    k2 = pair_i2 - offs2_g + 2  # k = 0, 1 ride the stream itself
+    k2 = pair_i2 - jnp.maximum(run_start, 0) + 2  # k = 0, 1 ride the stream
     nx2 = ((bb2 >> 16) & 0xFF) + 1
     tx2 = (bb2 & 0xFF) + k2 % nx2
     ty2 = ((bb2 >> 8) & 0xFF) + k2 // nx2
@@ -341,7 +341,7 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
     tiles_all = jnp.concatenate([tile1, tile1b, tile2])
     ranks_all = jnp.concatenate([rank, rank, sp2])
     rows_all = [
-        jnp.concatenate([payload_c[i], payload_c[i], g_rows[2 + i]])
+        jnp.concatenate([payload_c[i], payload_c[i], g_rows[1 + i]])
         for i in range(len(payload_c))
     ]
     if packed_key:

@@ -42,6 +42,13 @@ def make_mesh(shape=None, axis_names=("dp", "sp"), devices=None):
     return Mesh(dev, axis_names)
 
 
+def _hm_src(renderer):
+    """Replicated small-source height map (ops/project fast path); a (1,1)
+    zero disables it (e.g. exact profile or big texture maps)."""
+    hm = getattr(renderer, "hm_src", None)
+    return hm if hm is not None else jnp.zeros((1, 1), jnp.float32)
+
+
 def composite_over(front, back):
     """Premultiplied front-over-back for (rgb, alpha) images [..., 4]:
     out = front + (1 - front_alpha) * back."""
@@ -93,9 +100,10 @@ def render_cameras_sharded(renderer, staged, scene_params, cam_batch, mesh,
         tris=jnp.zeros((3, 2), jnp.int32),
     )
 
-    def per_device(cams_local, store, panels, stream, draw, hm4):
+    def per_device(cams_local, store, panels, stream, draw, hm4, hm_src):
         def body(carry, cam):
-            img, _ = frame(store, panels, stream, draw, cam, hm4, sky, prox)
+            img, _ = frame(store, panels, stream, draw, cam, hm4, sky, prox,
+                           hm_src=hm_src)
             return carry, img
 
         _, imgs = jax.lax.scan(body, 0, cams_local)
@@ -111,13 +119,13 @@ def render_cameras_sharded(renderer, staged, scene_params, cam_batch, mesh,
         cache[key] = jax.jit(jax.shard_map(
             per_device,
             mesh=mesh,
-            in_specs=(P("dp"), P(), P(), P(), P(), P()),
+            in_specs=(P("dp"), P(), P(), P(), P(), P(), P()),
             out_specs=P("dp"),
             check_vma=False,
         ))
     return cache[key](
         cam_batch, renderer.store_packed, renderer.panels, stream, draw,
-        renderer.hm4,
+        renderer.hm4, _hm_src(renderer),
     )
 
 
@@ -161,12 +169,13 @@ def render_stream_sharded(renderer, staged, scene_params, camera, mesh,
         tris=jnp.zeros((3, 2), jnp.int32),
     )
 
-    def per_device(blocks_local, store, panels, merged, draw, uniforms, hm4):
+    def per_device(blocks_local, store, panels, merged, draw, uniforms,
+                   hm4, hm_src):
         # each shard assembles + composites its contiguous block range of
         # the front-to-back stream (panels + merged scratch replicated)
         img, _ = frame(
             store, panels, dict(blocks=blocks_local, merged=merged),
-            draw, uniforms, hm4, sky, prox,
+            draw, uniforms, hm4, sky, prox, hm_src=hm_src,
         )
         # fold segment images front-to-back across 'sp'
         imgs = jax.lax.all_gather(img, "sp")  # [n_sp, H, W, 4]
@@ -186,11 +195,11 @@ def render_stream_sharded(renderer, staged, scene_params, camera, mesh,
         cache[key] = jax.jit(jax.shard_map(
             per_device,
             mesh=mesh,
-            in_specs=(P(None, "sp"), P(), P(), P(), P(), P(), P()),
+            in_specs=(P(None, "sp"), P(), P(), P(), P(), P(), P(), P()),
             out_specs=P(),
             check_vma=False,
         ))
     return cache[key](
         stream["blocks"], renderer.store_packed, renderer.panels,
-        stream["merged"], draw, uniforms, renderer.hm4,
+        stream["merged"], draw, uniforms, renderer.hm4, _hm_src(renderer),
     )

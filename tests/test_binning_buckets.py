@@ -1,0 +1,134 @@
+"""Unit tests for the adaptive binning buckets and the gather-free height
+sampler introduced with the live-compaction binning design:
+
+- live-splat compaction (ops/binning.bin_pairs max_live) must be invisible
+  to the output and must flag + grow on overflow;
+- the worklist-entry bucket must flag overflow when it truncates tiles;
+- _smallmap_resized_bilinear must match the reference chain
+  (bicubic resize -> bilinear fetch) bit-for-bit up to f32 rounding.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from gswt_renderer_tpu.ops import binning  # noqa: E402
+from gswt_renderer_tpu.ops.project import (  # noqa: E402
+    _bilinear_wrap4,
+    _smallmap_resized_bilinear,
+    pack_tex4,
+)
+from gswt_renderer_tpu.tiles import surface as surf  # noqa: E402
+
+
+def _proj(n, seed=0, w=256, h=128):
+    """Synthetic projection outputs: n splats scattered over a w x h image."""
+    rng = np.random.RandomState(seed)
+    cx = rng.uniform(-20, w + 20, n).astype(np.float32)
+    cy = rng.uniform(-20, h + 20, n).astype(np.float32)
+    ext = rng.uniform(1.0, 40.0, (2, n)).astype(np.float32)
+    q = rng.uniform(0.001, 0.1, (3, n)).astype(np.float32)
+    q[1] *= 0.1  # keep PSD-ish
+    col = rng.uniform(0.0, 1.0, (4, n)).astype(np.float32)
+    z = rng.uniform(0.0, 1.0, n).astype(np.float32)
+    valid = rng.rand(n) > 0.6  # mostly-dead stream, like the real one
+    return dict(
+        cx=jnp.asarray(cx), cy=jnp.asarray(cy),
+        ext_x=jnp.asarray(ext[0]), ext_y=jnp.asarray(ext[1]),
+        q=tuple(jnp.asarray(qi) for qi in q),
+        color=tuple(jnp.asarray(ci) for ci in col),
+        z=jnp.asarray(z), valid=jnp.asarray(valid),
+    )
+
+
+def _run(p, **kw):
+    kw.setdefault("image_wh", (256, 128))
+    kw.setdefault("tile_wh", (64, 32))
+    kw.setdefault("max_pairs", 1 << 14)
+    kw.setdefault("chunk", 128)
+    kw.setdefault("exact", True)
+    return binning.bin_pairs(p, **kw)
+
+
+def _live_table_rows(b):
+    """Extract (tile, k-rows) for live pairs in sorted order, as a
+    canonical comparable array."""
+    table = np.asarray(b["table"])
+    rs = np.asarray(b["range_start"])
+    re_ = np.asarray(b["range_end"])
+    rows = []
+    for t in range(rs.shape[0]):
+        for j in range(rs[t], re_[t]):
+            rows.append((t, *table[:12, j]))
+    return np.asarray(rows, np.float32)
+
+
+def test_compaction_is_invisible():
+    p = _proj(4096)
+    full = _run(p, max_live=None)
+    comp = _run(p, max_live=2048)  # > n_live, < s_n
+    assert not bool(comp["overflow"])
+    assert int(full["n_pairs"]) == int(comp["n_pairs"])
+    a = _live_table_rows(full)
+    b = _live_table_rows(comp)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_compaction_overflow_flagged():
+    p = _proj(4096)
+    # n_live counts valid AND onscreen splats (same test as bin_pairs)
+    cx, cy = np.asarray(p["cx"]), np.asarray(p["cy"])
+    ex, ey = np.asarray(p["ext_x"]), np.asarray(p["ext_y"])
+    on = (cx + ex >= 0) & (cx - ex < 256) & (cy + ey >= 0) & (cy - ey < 128)
+    n_live = int((np.asarray(p["valid"]) & on).sum())
+    tight = _run(p, max_live=512)  # < n_live -> must flag
+    assert n_live > 512
+    assert bool(tight["overflow"])
+    assert int(tight["n_live"]) == n_live  # true demand reported
+
+
+def test_worklist_entry_overflow_flagged():
+    p = _proj(4096)
+    full = _run(p, max_live=2048)
+    ne = int(full["n_entries"])
+    cut = _run(p, max_live=2048, max_entries=max(ne // 2, 8))
+    assert bool(cut["overflow"])
+    assert int(cut["n_entries"]) == ne  # true demand reported
+
+
+def test_smallmap_sampler_matches_resized_bilinear():
+    rng = np.random.RandomState(3)
+    w_src, h_src = 10, 10
+    reso = 256  # smaller resize for test speed; same code path
+    src = rng.uniform(-1, 1, h_src * w_src).astype(np.float32)
+    big = surf.map_resize(src, (w_src, h_src), (reso, reso))
+    hm4 = pack_tex4(big, reso, reso)
+    n = 3000
+    hu = rng.uniform(-0.3, 1.3, n).astype(np.float32)
+    hv = rng.uniform(-0.3, 1.3, n).astype(np.float32)
+    ref = np.asarray(
+        _bilinear_wrap4(jnp.asarray(hm4), reso, reso,
+                        jnp.asarray(hu), jnp.asarray(hv))
+    )
+    h, dx, dy = _smallmap_resized_bilinear(
+        jnp.asarray(src.reshape(h_src, w_src)),
+        jnp.asarray(hu), jnp.asarray(hv), reso, reso,
+    )
+    np.testing.assert_allclose(np.asarray(h), ref, atol=2e-6)
+    # gradient must equal the analytic bilinear-patch derivative of the
+    # resized map (the fast profile's gradient, PARITY.md #8)
+    x = hu * reso - 0.5
+    y = hv * reso - 0.5
+    x0 = np.floor(x)
+    y0 = np.floor(y)
+    tx, ty = x - x0, y - y0
+    base = (y0.astype(np.int64) % reso) * reso + (x0.astype(np.int64) % reso)
+    i00, i10, i01, i11 = np.asarray(hm4)[:, base]
+    np.testing.assert_allclose(
+        np.asarray(dx), (i10 - i00) * (1 - ty) + (i11 - i01) * ty, atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(dy), (i01 - i00) * (1 - tx) + (i11 - i10) * tx, atol=2e-6
+    )
