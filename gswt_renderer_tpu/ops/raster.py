@@ -18,7 +18,7 @@ boundaries (no re-layout pass). Per chunk of C splats:
       depth) -- ln(alpha) is row 11 of the pair table, so both the alpha
       multiply and the range mask fold into the exponent add
   T_incl = inclusive cumprod over [T_carry*(1-g_0), 1-g_1, ...], a blocked
-      two-level scan on the VPU (groups of 16: ~5 full-size passes vs 8 for
+      two-level scan on the VPU (groups of 32, on-chip-swept: ~6 passes vs 8 for
       flat Hillis-Steele); seeding the scan with T_carry makes the weight a
       single multiply
   acc(4,P) += rgb1(4,C) @ (g * T_excl)     -- second MXU matmul
@@ -61,10 +61,11 @@ def _pixel_features(tw, th):
     )
 
 
-def _cumprod_inclusive(x, group: int = 16):
+def _cumprod_inclusive(x, group: int = 32):
     """Inclusive cumulative product along axis 0 (Pallas TPU has no native
     cumprod lowering). Blocked two-level scan: Hillis-Steele within groups
-    of `group` rows, a tiny scan over the per-group totals, one broadcast
+    of `group` rows (32 won the on-chip sweep: 109.8 ms/frame vs 111.8 at
+    16, 120.6 at 8), a tiny scan over the per-group totals, one broadcast
     apply — ~log2(group)+1 full-size passes instead of log2(c)."""
     c, p = x.shape
     if c % group or c <= group:
