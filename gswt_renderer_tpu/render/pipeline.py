@@ -678,14 +678,15 @@ class Renderer:
         it for subsequent frames)."""
         c = self.cfg
         hint = getattr(self, "_pairs_hint", None)
-        if hint is None:
-            want = int(s_pad * c.pairs_factor)
-        else:
-            # 1.5x headroom over the session max: extra-pair counts are a
-            # small fraction of the stream and swing relatively harder than
-            # total pairs; a mid-benchmark bucket flip costs a full frame
-            # recompile, which dwarfs the padding cost
-            want = int(hint * 1.5)
+        # the seed is a session FLOOR: an interactive camera can observe a
+        # low-demand frame first and would otherwise shrink the bucket,
+        # paying a recompile now and another when demand grows back
+        want = int(s_pad * c.pairs_factor)
+        if hint is not None:
+            # 1.5x headroom over the session max: extra-pair counts swing
+            # relatively harder than total pairs; a mid-benchmark bucket
+            # flip costs a full frame recompile, which dwarfs the padding
+            want = max(want, int(hint * 1.5))
         want = max(want, c.chunk)
         return _next_pow2(want, c.chunk, 1 << 24)
 
@@ -697,12 +698,12 @@ class Renderer:
         like the pair budget). Capped at s_pad = compaction disabled."""
         c = self.cfg
         hint = getattr(self, "_live_hint", None)
-        if hint is None:
-            want = int(s_pad * c.live_factor)
-        else:
+        # seed = session floor (see _pairs_bucket)
+        want = int(s_pad * c.live_factor)
+        if hint is not None:
             # live counts swing with the camera; 1.35x headroom over the
             # session max avoids mid-run bucket flips
-            want = int(hint * 1.35)
+            want = max(want, int(hint * 1.35))
         want = max(want, c.chunk)
         return min(_next_pow2(want, c.chunk, 1 << 24), s_pad)
 
@@ -718,15 +719,14 @@ class Renderer:
         n_tiles = ntx * nty
         cap = (2 * max_live + max_pairs) // c.chunk + n_tiles
         hint = getattr(self, "_ne_hint", None)
-        if hint is None:
-            # seed with the SAME formula the hint path uses, applied to an
-            # estimated entry count (live pairs ~ 0.85 * s_pad at 1080p),
-            # so the first frame usually lands on the converged bucket and
-            # no down-flip recompile happens on frame 2
-            est = int(s_pad * 0.85) // c.chunk + n_tiles
-            want = int(est * 1.3) + 256
-        else:
-            want = int(hint * 1.3) + 256
+        # seed with the SAME formula the hint path uses, applied to an
+        # estimated entry count (live pairs ~ 0.85 * s_pad at 1080p), so
+        # the first frame usually lands on the converged bucket; the seed
+        # is also a session FLOOR (see _pairs_bucket)
+        est = int(s_pad * 0.85) // c.chunk + n_tiles
+        want = int(est * 1.3) + 256
+        if hint is not None:
+            want = max(want, int(hint * 1.3) + 256)
         want = min(max(want, n_tiles + 1024), cap)
         return min(_next_pow2(want, 1 << 10, 1 << 24), cap)
 

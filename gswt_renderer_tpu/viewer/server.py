@@ -20,6 +20,7 @@ to u8 ON DEVICE (the dev harness d2h tunnel is ~14 MB/s, so shipping f32
 
 from __future__ import annotations
 
+import sys
 import io
 import json
 import threading
@@ -113,24 +114,35 @@ def serve(engine, host="0.0.0.0", port=8080, scale: int = 2,
     state = {"jpg": b"", "lock": threading.Lock()}
 
     def render_loop():
-        next_grab = 0.0
         while not stop.is_set():
-            img = engine.frame(readback=False)
-            if img is None:
-                time.sleep(0.01)
-                continue
-            now = time.time()
-            if now < next_grab:
-                continue
-            next_grab = now + stream_ms / 1e3
-            # downscale + quantize on device: d2h ships H/s x W/s x 3 bytes
-            small = jax.numpy.clip(
-                img[:: scale, :: scale, :3] * 255.0, 0, 255
-            ).astype(jax.numpy.uint8)
-            arr = np.asarray(jax.device_get(small))
-            jpg = encode_jpeg(arr)
-            with state["lock"]:
-                state["jpg"] = jpg
+            try:
+                _render_tick()
+            except Exception as e:  # keep serving; surface in the console
+                import traceback
+
+                print(f"[viewer] render loop error: {e}", file=sys.stderr)
+                traceback.print_exc()
+                time.sleep(0.5)
+
+    grab = {"next": 0.0}
+
+    def _render_tick():
+        img = engine.frame(readback=False)
+        if img is None:
+            time.sleep(0.01)
+            return
+        now = time.time()
+        if now < grab["next"]:
+            return
+        grab["next"] = now + stream_ms / 1e3
+        # downscale + quantize on device: d2h ships H/s x W/s x 3 bytes
+        small = jax.numpy.clip(
+            img[:: scale, :: scale, :3] * 255.0, 0, 255
+        ).astype(jax.numpy.uint8)
+        arr = np.asarray(jax.device_get(small))
+        jpg = encode_jpeg(arr)
+        with state["lock"]:
+            state["jpg"] = jpg
 
     t = threading.Thread(target=render_loop, daemon=True)
     t.start()
@@ -195,6 +207,13 @@ def serve(engine, host="0.0.0.0", port=8080, scale: int = 2,
                 self.wfile.write(body)
 
         def do_POST(self):
+            try:
+                self._do_post()
+            except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
+                # malformed body: answer 400 instead of a handler traceback
+                self._json(dict(error=f"{type(e).__name__}: {e}"), code=400)
+
+        def _do_post(self):
             n = int(self.headers.get("Content-Length", 0))
             raw = self.rfile.read(n) if n else b"{}"
             if self.path.startswith("/key"):
