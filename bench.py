@@ -124,6 +124,7 @@ def main():
     meta = dict(
         frames=result["frames"],
         frame_ms=round(result["frame_ms"][0], 2),
+        median_frame_ms=round(result["median_frame_ms"], 2),
         sort_ms=round(result["sort_ms"][0], 2),
         build_ms=round(result["build_ms"][0], 2),
         sort_trigger=round(result["sort_trigger"], 3),
