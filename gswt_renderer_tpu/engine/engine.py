@@ -391,12 +391,11 @@ class Engine:
         fly_path.reset_path()
         fly_path.start_path()
         frames = 0
-        frame_wall = []
-        t0 = get_time_milliseconds()
+        stamps = [get_time_milliseconds()]
+        t0 = stamps[0]
         while not fly_path.finished and frames < max_frames:
-            t1 = get_time_milliseconds()
             img = self.frame(readback=readback)
-            frame_wall.append(get_time_milliseconds() - t1)
+            stamps.append(get_time_milliseconds())
             frames += 1
         # the wall clock only stops once every in-flight frame is
         # device-complete (bounded pipelining, not an unbounded dispatch)
@@ -406,14 +405,23 @@ class Engine:
         f_avg, f_std = self.frame_time_ma.calc()
         s_avg, s_std = self.sort_time_ma.calc()
         b_avg, b_std = self.build_time_ma.calc()
-        frame_wall.sort()
-        median_ms = frame_wall[len(frame_wall) // 2] if frame_wall else 0.0
+        # median over 16-frame WINDOWS: per-frame wall is meaningless
+        # under pipelining (most frames return after dispatch only), and
+        # the plain mean is poisoned by the dev harness's multi-second
+        # tunnel stalls — windowed throughput is the renderer-bound number
+        win = 16
+        wins = [
+            (stamps[i + win] - stamps[i]) / win
+            for i in range(0, len(stamps) - win, win)
+        ]
+        wins.sort()
+        median_ms = wins[len(wins) // 2] if wins else (
+            wall / frames if frames else 0.0
+        )
         return dict(
             frames=frames,
             wall_ms=wall,
             fps=frames / (wall / 1000.0) if wall > 0 else 0.0,
-            # per-frame wall median: robust against the dev harness's
-            # multi-second tunnel stalls, which poison the mean
             median_frame_ms=median_ms,
             frame_ms=(f_avg, f_std),
             sort_ms=(s_avg, s_std),
