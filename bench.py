@@ -118,11 +118,18 @@ def main():
     result = eng.run_benchmark(fp, readback=False)
     eng.shutdown()
 
-    fps = result["fps"]
+    # headline = 16-frame-window MEDIAN throughput: the dev harness's
+    # tunnel randomly stalls for seconds at a time (the same build measured
+    # 8.8 and 2.1 wall-fps within an hour, with identical 107-112 ms
+    # medians), so the median is the reproducible renderer-bound number;
+    # the raw wall-clock fps stays in meta as fps_wall
+    med = result["median_frame_ms"]
+    fps = 1000.0 / med if med > 0 else result["fps"]
     aux = eng.renderer.last_aux or {}
     n_pairs = int(aux.get("n_pairs", 0))
     meta = dict(
         frames=result["frames"],
+        fps_wall=round(result["fps"], 2),
         frame_ms=round(result["frame_ms"][0], 2),
         median_frame_ms=round(result["median_frame_ms"], 2),
         sort_ms=round(result["sort_ms"][0], 2),
