@@ -132,7 +132,12 @@ def build_worklist(sorted_key, *, n_tiles, max_pairs: int, chunk: int,
     entry_tile = jnp.where(live, t_of_e, n_tiles - 1).astype(jnp.int32)
     entry_chunk = jnp.where(live, c0[t_of_e] + rank, 0).astype(jnp.int32)
     entry_first = live & (rank == 0)
-    entry_last = live & (rank == n_entries_tile[t_of_e] - 1)
+    # the FINAL in-budget entry is always flagged `last` too: when the
+    # budget truncates a tile mid-run, that tile still flushes its partial
+    # accumulation instead of leaving its output block uninitialized
+    entry_last = live & (
+        (rank == n_entries_tile[t_of_e] - 1) | (ei == ne_max - 1)
+    )
     # pack (tile | first | last) into one i32 prefetch array: SMEM holds at
     # most ~1 MB of scalar-prefetch data, so the worklist is 2 per-entry
     # arrays + 2 per-tile range arrays
@@ -144,12 +149,18 @@ def build_worklist(sorted_key, *, n_tiles, max_pairs: int, chunk: int,
     # dead entries: mask everything via empty range (start == end == 0)
     r_start = jnp.where(length > 0, range_start, 0).astype(jnp.int32)
     r_end = jnp.where(length > 0, range_end, 0).astype(jnp.int32)
+    # tiles whose entries were ALL dropped by the max_entries cap never run
+    # a single grid step, so their output blocks stay uninitialized HBM;
+    # rasterizers mask those to zero so a worklist overflow degrades to
+    # missing tiles on a valid background instead of garbage pixels
+    tile_touched = e_offs[:n_tiles] < ne_max
     return dict(
         entry_tf=entry_tf,
         entry_chunk=entry_chunk,
         range_start=r_start,
         range_end=r_end,
         n_entries=total_entries,
+        tile_touched=tile_touched,
         wl_overflow=total_entries > ne_max,
     )
 

@@ -194,9 +194,14 @@ def make_map_grid(map_wh, map_half_wh, tile_width, far_dist: float = 2400.0):
     parts = [
         _grid_patch(-hx * tw, -hy * tw, w, h, tw)
     ]
-    # clipmap rings: extent doubles, cell doubles
+    # clipmap rings: extent doubles, cell doubles. First ring cell = 4x the
+    # tile width: ring 1 starts at ~48 tile widths out, so its triangles
+    # still subtend only ~2-5 degrees; halving ring density cut the proxy
+    # raster's triangle count 75k -> 33k (~2x pass cost) for a far-field
+    # silhouette change well inside the documented clipmap deviation
+    # (PARITY.md #4 vs proxy.rs:136-166's uniform far grid).
     ext = max(hx, hy) * tw
-    cell = 2.0 * tw
+    cell = 4.0 * tw
     while ext < far_dist:
         outer = ext * 2.0
         n = int(np.ceil(2.0 * outer / cell))

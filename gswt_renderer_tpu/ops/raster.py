@@ -109,7 +109,6 @@ def _raster_kernel(
     tf = e_tf[g]
     tile = tf & 0xFFFFFF
     first = ((tf >> 24) & 1) == 1
-    last = ((tf >> 25) & 1) == 1
     p_n = th * tw
 
     @pl.when(first)
@@ -194,6 +193,11 @@ def _raster_kernel(
         acc_ref[0:4, :] = acc_ref[0:4, :] + contrib
         trans_ref[0:1, :] = t_incl[-1:, :]
 
+    # `last` is also set on the final in-budget entry (build_worklist), so
+    # a tile whose trailing entries were truncated still flushes its
+    # partial color instead of leaving uninitialized HBM
+    last = ((tf >> 25) & 1) == 1
+
     @pl.when(last)
     def _():
         out_ref[0, 0:4, :] = acc_ref[0:4, :].reshape(1, 4, p_n)[0]
@@ -258,6 +262,10 @@ def rasterize_pallas(binned, depth_tiles, *, image_wh, tile_wh, chunk: int,
         binned["table"],
         depth_tiles,
     )
+    # tiles the worklist budget dropped entirely hold uninitialized HBM
+    touched = binned.get("tile_touched")
+    if touched is not None:
+        out = jnp.where(touched[:, None, None], out, 0.0)
     return out
 
 

@@ -96,7 +96,6 @@ def _tri_kernel(
     tf = e_tf[g]
     tile = tf & 0xFFFFFF
     first = ((tf >> 24) & 1) == 1
-    last = ((tf >> 25) & 1) == 1
     ty = tile // ntx
     tx = tile % ntx
     p_n = th * tw
@@ -112,6 +111,11 @@ def _tri_kernel(
             e_chunk, r_start, r_end, table_ref, z_ref, at_ref, g, tile,
             tx, ty, tw=tw, th=th, chunk=chunk,
         )
+
+    # `last` is also set on the final in-budget entry (build_worklist), so
+    # a truncated tile writes its partial raster instead of leaving
+    # uninitialized HBM
+    last = ((tf >> 25) & 1) == 1
 
     @pl.when(last)
     def _():
@@ -222,7 +226,15 @@ def rasterize_triangles(planes, bbox, ok, *, image_wh, tile_wh,
         wl["entry_tf"], wl["entry_chunk"], wl["range_start"], wl["range_end"],
         rows,
     )
-    return dict(tiles=tiles, n_pairs=total, overflow=overflow)
+    # tiles the worklist budget dropped entirely hold uninitialized HBM:
+    # mask to far plane + zero attributes
+    init = jnp.concatenate(
+        [jnp.ones((1, p_n), jnp.float32), jnp.zeros((4, p_n), jnp.float32)],
+        axis=0,
+    )
+    tiles = jnp.where(wl["tile_touched"][:, None, None], tiles, init[None])
+    return dict(tiles=tiles, n_pairs=total,
+                overflow=overflow | wl["wl_overflow"])
 
 
 def tiles_to_maps(tiles, *, image_wh, tile_wh):

@@ -588,7 +588,7 @@ class Renderer:
                 pcol, depth, hit, paux = render_proxy(
                     cam, scene, image_wh, hm4, self.height_map_wh,
                     proxy_tex, self.proxy_wh, surface_type=surface_type,
-                    mip_meta=mip_meta, tile_wh=tile_wh, chunk=128,
+                    mip_meta=mip_meta, tile_wh=tile_wh, chunk=256,
                     interpret=c.interpret, proxy_pairs=proxy_pairs, **popts,
                 )
                 bg = jnp.where(hit[..., None], pcol, bg)
@@ -665,11 +665,17 @@ class Renderer:
 
     def _proxy_bucket(self) -> int:
         """Adaptive proxy-triangle pair budget (same pattern as
-        _pairs_bucket; overflow grows it for subsequent frames)."""
+        _pairs_bucket). Seeded from the OBSERVED pair count (most grid
+        triangles are offscreen at any camera, so the triangle count
+        overestimates ~3x); overflow retries/grows like the pair budget.
+        The hint is a grow-only session floor."""
         hint = getattr(self, "_proxy_hint", None)
         if hint is None:
-            hint = getattr(self, "proxy_tris", np.zeros((3, 1))).shape[1]
-        return _next_pow2(max(int(hint * 1.3), 1 << 12), 1 << 12, 1 << 22)
+            n_tris = getattr(self, "proxy_tris", np.zeros((3, 1))).shape[1]
+            want = int(n_tris * 0.6)
+        else:
+            want = int(hint * 2.0)
+        return _next_pow2(max(want, 1 << 12), 1 << 12, 1 << 22)
 
     def _pairs_bucket(self, s_pad: int) -> int:
         """Adaptive EXTRA-pair budget (path-2 pairs of ops/binning.py; the
@@ -841,15 +847,6 @@ class Renderer:
         stream = staged["stream"]
         draw = staged["draw"]
         lod_enable = list(rc.lod_enable or [True] * 16)
-        proxy_opts = (
-            ("height_offset", float(rc.proxy_height)),
-            ("brightness", float(rc.proxy_brightness)),
-            ("black_background", bool(rc.proxy_black_background)),
-            ("use_clip", bool(rc.use_clip)),
-            ("clip_height", float(rc.clip_height)),
-            ("mip_meta", getattr(self, "proxy_mip_meta", ((1, 1, 0),))),
-            ("proxy_pairs", self._proxy_bucket() if use_proxy else 1 << 12),
-        )
         sky = self.skybox_tex if self.skybox_tex is not None else jnp.zeros((1, 1, 3))
         prox = dict(
             atlas=(
@@ -862,6 +859,17 @@ class Renderer:
         )
         self.last_overflow_retries = 0
         for _attempt in range(3):
+            # proxy_opts rebuilt per attempt: a proxy-pair overflow grows
+            # _proxy_hint, so the retry needs the re-evaluated bucket
+            proxy_opts = (
+                ("height_offset", float(rc.proxy_height)),
+                ("brightness", float(rc.proxy_brightness)),
+                ("black_background", bool(rc.proxy_black_background)),
+                ("use_clip", bool(rc.use_clip)),
+                ("clip_height", float(rc.clip_height)),
+                ("mip_meta", getattr(self, "proxy_mip_meta", ((1, 1, 0),))),
+                ("proxy_pairs", self._proxy_bucket() if use_proxy else 1 << 12),
+            )
             mp = self._pairs_bucket(staged["s_pad"])
             ml = self._live_bucket(staged["s_pad"])
             key = (
@@ -890,6 +898,14 @@ class Renderer:
             )
             img = fn_back(binned, bg, depth_tiles)
             if pipeline_depth > 0 and not as_numpy:
+                # schedule the aux scalars' d2h copy now (async, returns
+                # immediately): by the time this frame is drained the data
+                # has landed and the per-frame aux read doesn't block
+                try:
+                    for leaf in jax.tree_util.tree_leaves(aux):
+                        leaf.copy_to_host_async()
+                except Exception:  # pragma: no cover - backend-dependent
+                    pass
                 self._inflight = getattr(self, "_inflight", None) or []
                 self._inflight.append((aux, img, int(key[1])))
                 while len(self._inflight) > pipeline_depth:
@@ -899,16 +915,7 @@ class Renderer:
             # the whole frame; aux alone is computed before the rasterizer)
             fetched = jax.device_get((aux, img[0, 0, 0]))
             self.last_aux = fetched[0]
-            # grow-only hints: shrinking would flip buckets and recompile
-            self._pairs_hint = max(
-                int(self.last_aux["n_extra"]), getattr(self, "_pairs_hint", 1) or 1
-            )
-            self._ne_hint = max(
-                int(self.last_aux["n_entries"]), getattr(self, "_ne_hint", 1) or 1
-            )
-            self._live_hint = max(
-                int(self.last_aux["n_live"]), getattr(self, "_live_hint", 1) or 1
-            )
+            self._absorb_aux()
             if not bool(self.last_aux["overflow"]):
                 break
             # overflow: n_extra is the TRUE demand (binning counts before
@@ -917,37 +924,48 @@ class Renderer:
             self.last_overflow_retries += 1
         return np.asarray(jax.device_get(img)) if as_numpy else img
 
-    AUX_FETCH_EVERY = 4  # pipelined aux round trips per N frames
+    AUX_FETCH_EVERY = 4  # pipelined pixel-probe round trips per N frames
+
+    def _absorb_aux(self):
+        """Fold a fetched aux dict into the grow-only bucket hints
+        (shrinking would flip buckets and recompile)."""
+        a = self.last_aux
+        self._pairs_hint = max(
+            int(a["n_extra"]), getattr(self, "_pairs_hint", 1) or 1
+        )
+        self._ne_hint = max(
+            int(a["n_entries"]), getattr(self, "_ne_hint", 1) or 1
+        )
+        self._live_hint = max(
+            int(a["n_live"]), getattr(self, "_live_hint", 1) or 1
+        )
+        if "proxy_pairs" in a:
+            self._proxy_hint = max(
+                int(a["proxy_pairs"]), getattr(self, "_proxy_hint", 1) or 1
+            )
 
     def _drain_one(self, fetch: bool | None = None):
-        """Pop the oldest in-flight frame; FETCH its aux only every
-        AUX_FETCH_EVERY pops (each fetch is a blocking d2h round trip,
-        ~27-45 ms on the tunneled harness — the bucket hints and overflow
-        detection tolerate a few frames of lag, and the periodic fetch
-        still provides backpressure so dispatch can't run unboundedly
-        ahead of the device)."""
+        """Pop the oldest in-flight frame. The AUX scalars are read for
+        EVERY drained frame (they were scheduled device->host async at
+        dispatch, so by drain time — >= pipeline_depth frames later — the
+        copy has landed and the read doesn't block), so an overflow on any
+        frame is counted and grows the budget hints. The image PIXEL PROBE
+        (the completion barrier proving the whole frame executed, a real
+        blocking round trip) still runs only every AUX_FETCH_EVERY pops for
+        backpressure."""
         aux, img, bucket = self._inflight.pop(0)
         self._drain_count = getattr(self, "_drain_count", 0) + 1
         if fetch is None:
             fetch = self._drain_count % self.AUX_FETCH_EVERY == 0
-        if not fetch:
-            return
-        fetched = jax.device_get((aux, img[0, 0, 0]))
-        self.last_aux = fetched[0]
-        self._pairs_hint = max(
-            int(self.last_aux["n_extra"]), getattr(self, "_pairs_hint", 1) or 1
-        )
-        self._ne_hint = max(
-            int(self.last_aux["n_entries"]), getattr(self, "_ne_hint", 1) or 1
-        )
-        self._live_hint = max(
-            int(self.last_aux["n_live"]), getattr(self, "_live_hint", 1) or 1
-        )
+        self.last_aux = jax.device_get(aux)
+        self._absorb_aux()
         if bool(self.last_aux["overflow"]):
             # too late to retry this frame (it already rendered truncated);
             # the hint absorbed the true demand above, so subsequent frames
             # get a right-sized budget
             self.overflow_frames = getattr(self, "overflow_frames", 0) + 1
+        if fetch:
+            jax.device_get(img[0, 0, 0])
 
     def drain(self):
         """Block until all in-flight pipelined frames are device-complete."""
