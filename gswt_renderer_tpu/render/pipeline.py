@@ -588,7 +588,7 @@ class Renderer:
                 pcol, depth, hit, paux = render_proxy(
                     cam, scene, image_wh, hm4, self.height_map_wh,
                     proxy_tex, self.proxy_wh, surface_type=surface_type,
-                    mip_meta=mip_meta, tile_wh=tile_wh, chunk=256,
+                    mip_meta=mip_meta, tile_wh=tile_wh, chunk=128,
                     interpret=c.interpret, proxy_pairs=proxy_pairs, **popts,
                 )
                 bg = jnp.where(hit[..., None], pcol, bg)
