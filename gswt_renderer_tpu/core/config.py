@@ -102,6 +102,11 @@ class UserData:
 
     reset_rng: bool = True
     always_sort: bool = False
+    # "numpy": numpy default_rng(0) with the reference's draw order (fast);
+    # "stdrng": bit-exact Rust rand-0.9 StdRng (ChaCha12) emulation so
+    # seed-0 tile-id spawn sequences match the reference renderer
+    # (core/stdrng.py; closes PARITY #1)
+    rng_mode: str = "numpy"
 
     # Filled by the wang engine on configure (structure.rs:57-64)
     tile_map_wh: Tuple[int, int] = (0, 0)

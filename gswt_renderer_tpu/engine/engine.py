@@ -476,8 +476,17 @@ class Engine:
                 z_far=self.camera.z_far,
                 viewport=list(self.camera.viewport),
             ),
-            rng_state=json.loads(
-                json.dumps(self.wang.rng.bit_generator.state)
+            rng_state=(
+                dict(
+                    stdrng=dict(
+                        key=self.wang.rng.std.key.hex(),
+                        counter=self.wang.rng.std._counter,
+                        buf=list(self.wang.rng.std._buf),
+                        word_width=self.wang.rng.std.word_width,
+                    )
+                )
+                if hasattr(self.wang.rng, "std")
+                else json.loads(json.dumps(self.wang.rng.bit_generator.state))
             ),
         )
         with open(path, "w") as f:
@@ -496,7 +505,18 @@ class Engine:
             ud.reset_rng = False
             self.configure(ud)
         if state.get("rng_state"):
-            self.wang.rng.bit_generator.state = state["rng_state"]
+            rs = state["rng_state"]
+            if isinstance(rs, dict) and "stdrng" in rs:
+                from ..core.stdrng import NumpyCompatRng, StdRng
+
+                s = rs["stdrng"]
+                std = StdRng(0, word_width=s["word_width"])
+                std.key = bytes.fromhex(s["key"])
+                std._counter = int(s["counter"])
+                std._buf = list(s["buf"])
+                self.wang.rng = NumpyCompatRng(std)
+            else:
+                self.wang.rng.bit_generator.state = rs
 
     def shutdown(self):
         if self.builder is not None:

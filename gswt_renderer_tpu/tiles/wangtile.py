@@ -79,7 +79,7 @@ class WangTileEngine:
         self.camera_pos = np.zeros(3, np.float32)
 
         self.presort_dirs = PRESORT_DIRS
-        self.rng = np.random.default_rng(0)
+        self.rng = np.random.default_rng(0)  # replaced on configure
 
         self.tile_splats_merged = None
         self.splats_merge_offset = None  # u32 [n_lod, n_tile]
@@ -304,12 +304,23 @@ class WangTileEngine:
     # ------------------------------------------------------------------ #
     # configure (wangtile.rs:349-432)
     # ------------------------------------------------------------------ #
+    @staticmethod
+    def _make_rng(ud):
+        """Engine RNG (wangtile.rs:55,352-354): numpy by default;
+        UserData.rng_mode == "stdrng" selects the bit-exact Rust
+        StdRng/ChaCha12 emulation (core/stdrng.py, PARITY #1)."""
+        if getattr(ud, "rng_mode", "numpy") == "stdrng":
+            from ..core.stdrng import NumpyCompatRng, StdRng
+
+            return NumpyCompatRng(StdRng(0))
+        return np.random.default_rng(0)
+
     def configure(self, user_data: UserData) -> UserData:
         self.initialized = False
         self.user_data = user_data
         ud = self.user_data
         if ud.reset_rng:
-            self.rng = np.random.default_rng(0)
+            self.rng = self._make_rng(ud)
 
         if ud.surface_type == SurfaceType.SPHERE:
             ud.tile_map_wh = (ud.tile_map_half_wh[0] * 2, ud.tile_map_half_wh[1] * 2)
