@@ -286,11 +286,27 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
     if l_pad < s_n:
         slot = jnp.arange(s_n, dtype=jnp.int32)
         ckey = jnp.where(ok, slot, slot | jnp.int32(1 << 30))
-        csrt = jax.lax.sort(
-            [ckey, bbox_bits] + payload, num_keys=1, is_stable=False
-        )
-        bbox_c = csrt[1][:l_pad]
-        payload_c = [r[:l_pad] for r in csrt[2:]]
+        if len(payload) <= 5:
+            # fast profile: a SINGLE-key sort (~0.6 ns/lane on v5e vs ~3
+            # ns/lane per extra payload array) + one 6-comp gather on the
+            # SHRUNK l_pad prefix — ~2x cheaper than carrying the payload
+            # rows through the full-stream sort
+            skey = jax.lax.sort([ckey], num_keys=1, is_stable=False)[0]
+            src = skey[:l_pad] & ((1 << 30) - 1)
+            g_tab0 = jnp.stack(
+                [bc(bbox_bits, jnp.float32)] + payload, axis=0
+            )
+            rows0 = g_tab0[:, src]
+            bbox_c = bc(rows0[0], jnp.int32)
+            payload_c = [rows0[1 + i] for i in range(len(payload))]
+        else:
+            # exact profile carries the f32 payload (11 rows: a wide
+            # gather degrades sharply beyond ~5 components)
+            csrt = jax.lax.sort(
+                [ckey, bbox_bits] + payload, num_keys=1, is_stable=False
+            )
+            bbox_c = csrt[1][:l_pad]
+            payload_c = [r[:l_pad] for r in csrt[2:]]
         live = jnp.arange(l_pad, dtype=jnp.int32) < n_live
         live_overflow = n_live > l_pad
     else:

@@ -230,3 +230,69 @@ def test_overflow_reported(engine):
     # the tight budget overflowed and was grown + retried transparently
     assert r.last_overflow_retries >= 1
     assert not bool(r.last_aux["overflow"])
+
+
+def test_packed_equals_front_back_split(engine):
+    """VERDICT r2 #9: the driver entry + sharded paths jit _frame_packed
+    while the interactive path runs _frame_front/_frame_back separately;
+    pin them pixel-equal (with and without skybox+proxy)."""
+    import jax
+
+    ud = _setup(
+        engine,
+        surface_type=SurfaceType.HEIGHT_MAP,
+        height_map_scale=(1.0, 0.2),
+        height_map_wh=(8, 8),
+    )
+    cam_pos = np.array([1.0, -5.0, 3.0], np.float32)
+    engine.build_tiles(cam_pos)
+    camera = Camera((W, H), cam_pos, (1.0, 0.0, 0.5), (0.0, 1.0, 0.0),
+                    np.deg2rad(60.0), 0.1, 200.0)
+    dt = engine.sort_tiles(cam_pos, camera.view_proj())
+    rc = RenderConfig.new(engine.n_tiles[0])
+    r = Renderer(engine, RendererConfig(width=W, height=H, max_draws=128,
+                                        max_stream=1 << 15, min_stream=1 << 12,
+                                        chunk=128))
+    r.configure(ud)
+    sky = np.clip(np.linspace(0, 3, 16)[:, None, None]
+                  * np.ones((16, 32, 3), np.float32), 0, 3)
+    checker = np.kron(np.indices((8, 8)).sum(0) % 2,
+                      np.ones((4, 4))).astype(np.float32)
+    r.set_skybox(sky, equirect=True)
+    r.set_proxy(np.stack([checker, checker * 0.5, checker * 0.2], axis=-1))
+    sp = SceneParams.from_data(ud, engine.center_coord, rc)
+
+    for use_bg in (False, True):
+        img_split = r.render(dt, camera, sp, rc, use_skybox=use_bg,
+                             use_proxy=use_bg, as_numpy=True)
+        # packed path with identical buckets/options
+        staged = r.stage(dt, camera, rc.culling_dist)
+        from gswt_renderer_tpu.core.camera import CameraUniforms
+
+        mp = r._pairs_bucket(staged["s_pad"])
+        ml = r._live_bucket(staged["s_pad"])
+        proxy_opts = dict(
+            height_offset=float(rc.proxy_height),
+            brightness=float(rc.proxy_brightness),
+            black_background=bool(rc.proxy_black_background),
+            use_clip=bool(rc.use_clip),
+            clip_height=float(rc.clip_height),
+            mip_meta=getattr(r, "proxy_mip_meta", ((1, 1, 0),)),
+            proxy_pairs=r._proxy_bucket() if use_bg else 1 << 12,
+        )
+        uniforms = np.asarray(r.pack_frame_uniforms(
+            sp, CameraUniforms(camera), [True] * 16, rc.culling_dist))
+        prox = dict(atlas=r.proxy_tex, verts=r.proxy_verts, tris=r.proxy_tris)
+        img_packed, aux = r._frame_packed(
+            r.store_packed, r.panels, staged["stream"], staged["draw"],
+            uniforms, r.hm4, r.skybox_tex, prox, hm_src=r.hm_src,
+            surface_type=int(sp.surface_type), draw_mode=0,
+            point_cloud=False, use_skybox=use_bg, use_proxy=use_bg,
+            proxy_opts=proxy_opts, max_pairs=mp,
+            max_entries=r._ne_bucket(staged["s_pad"], mp, ml), max_live=ml,
+        )
+        img_packed = np.asarray(jax.device_get(img_packed))
+        # fusion boundaries differ between the one-program and two-program
+        # partitions, so fp association differs in the fast profile's bf16
+        # chains; pin to the standing parity budget
+        _assert_close(img_split, img_packed, budget=1e-3, frac=1e-3)
