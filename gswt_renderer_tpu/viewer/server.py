@@ -106,7 +106,8 @@ def encode_jpeg(arr_u8, quality=82):
 
 
 def serve(engine, host="0.0.0.0", port=8080, scale: int = 2,
-          stream_ms: float = 150.0, stop_event: threading.Event | None = None):
+          stream_ms: float = 150.0, stop_event: threading.Event | None = None,
+          on_bound=None):
     """Run the render loop + HTTP server until interrupted (or stop_event)."""
     import jax
 
@@ -124,7 +125,7 @@ def serve(engine, host="0.0.0.0", port=8080, scale: int = 2,
                 traceback.print_exc()
                 time.sleep(0.5)
 
-    grab = {"next": 0.0}
+    grab = {"next": 0.0, "stamps": []}
 
     def _render_tick():
         img = engine.frame(readback=False)
@@ -143,6 +144,7 @@ def serve(engine, host="0.0.0.0", port=8080, scale: int = 2,
         jpg = encode_jpeg(arr)
         with state["lock"]:
             state["jpg"] = jpg
+            grab["stamps"] = (grab["stamps"] + [now])[-20:]
 
     t = threading.Thread(target=render_loop, daemon=True)
     t.start()
@@ -170,14 +172,32 @@ def serve(engine, host="0.0.0.0", port=8080, scale: int = 2,
                 f_avg, _ = engine.frame_time_ma.calc()
                 s_avg, _ = engine.sort_time_ma.calc()
                 b_avg, _ = engine.build_time_ma.calc()
+                with state["lock"]:
+                    stamps = list(grab["stamps"])
+                display_fps = (
+                    (len(stamps) - 1) / (stamps[-1] - stamps[0])
+                    if len(stamps) > 1 and stamps[-1] > stamps[0]
+                    else 0.0
+                )
                 self._json(dict(
                     fps=1000.0 / f_avg if f_avg > 0 else 0.0,
                     frame_ms=f_avg,
                     sort_ms=s_avg,
                     build_ms=b_avg,
                     sort_trigger=engine.sort_trigger_ma.calc()[0],
+                    # measured viewer display rate (JPEG grabs landing)
+                    display_fps=display_fps,
                     splats=(
                         engine.cur_scene.splat_count if engine.cur_scene else 0
+                    ),
+                    # per-LOD splat/instance counts (gui.rs:846-880)
+                    lod_splat_count=(
+                        list(engine.cur_scene.lod_splat_count)
+                        if engine.cur_scene else []
+                    ),
+                    lod_instance_count=(
+                        list(engine.cur_scene.lod_instance_count)
+                        if engine.cur_scene else []
                     ),
                     stream_truncated=getattr(
                         engine.renderer, "last_stream_truncated", 0
@@ -302,7 +322,10 @@ def serve(engine, host="0.0.0.0", port=8080, scale: int = 2,
                 self.end_headers()
 
     server = ThreadingHTTPServer((host, port), Handler)
-    print(f"viewer at http://{host}:{port}/  (POST /quit to stop)")
+    if on_bound is not None:
+        on_bound(server.server_address[1])  # ephemeral-port tests
+    print(f"viewer at http://{host}:{server.server_address[1]}/  "
+          f"(POST /quit to stop)")
     try:
         server.serve_forever()
     except KeyboardInterrupt:
