@@ -1,21 +1,23 @@
 #!/usr/bin/env python
-"""Headline benchmark: 1080p infinite-terrain fly-through FPS on one chip.
+"""Headline benchmark: 1080p FULL-CONFIG (skybox + proxy ground) infinite-
+terrain fly-through FPS on one chip.
 
 Reproduces the reference's fly-path benchmark harness (gui.rs:955-997) on the
-paper's default configuration (97x97 tile map, tile width 4, Graph tile sort,
-Edge merge topk=100 dot=0.2, LRU 1024, LOD blending; structure.rs:70-99) over
-a synthetic Wang tile set (the official tile sets are produced by the paper's
-offline constructor and are not vendored in the reference repo, so absolute
-FPS is generator-dependent). The headline keeps the round-comparable density
-(512 splats/tile, ~2.5M-splat stream); `splats_composited_per_s` in meta is
-the density-robust throughput — measured within ~10% across a 16x density
-sweep (512/tile -> 4.43 fps, 8192/tile 5-lod -> 1.26 fps, both ~12M
-composited pairs/s; `GSWT_BENCH_SPLATS`/`GSWT_BENCH_LODS` override, and
-benchmarks/configs.py carries a dense row).
+paper's FULL default configuration — 97x97 tile map, tile width 4, Graph tile
+sort, Edge merge topk=100 dot=0.2, LRU 1024, LOD blending (structure.rs:70-99)
+PLUS the skybox and proxy ground passes the reference's frame includes
+(state.rs:384-401) — over a synthetic Wang tile set (the official tile sets
+are produced by the paper's offline constructor and are not vendored in the
+reference repo, so absolute FPS is generator-dependent). The headline keeps
+the round-comparable density (512 splats/tile, ~2.5M-splat stream);
+`splats_composited_per_s` in meta is the density-robust throughput, and
+meta.dense carries the 8192-splat/5-LOD row (set GSWT_BENCH_NO_DENSE=1 to
+skip it; `GSWT_BENCH_SPLATS`/`GSWT_BENCH_LODS` override the main scene).
 
-FPS counts device-complete frames (jax.block_until_ready per frame, no host
-readback): the dev harness tunnels device<->host transfers at ~15 MB/s, which
-would otherwise measure the tunnel, not the renderer.
+FPS counts device-complete frames (pixel-probe barrier, no host readback):
+the dev harness tunnels device<->host transfers at ~15 MB/s, which would
+otherwise measure the tunnel, not the renderer. Windows > 3x the median are
+discarded as tunnel stalls, with the discard count reported in meta.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
 vs_baseline = fps / 60 (BASELINE.md target: >= 60 FPS at 1080p).
@@ -29,6 +31,50 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _dense_row(width, height, n_frames=12):
+    """8192-splat/5-LOD density row (benchmarks/configs.py row 3d), kept in
+    every BENCH meta so density-robust throughput is tracked per round."""
+    import numpy as np
+
+    from gswt_renderer_tpu.core import UserData
+    from gswt_renderer_tpu.core.config import SurfaceType
+    from gswt_renderer_tpu.engine import Engine
+    from gswt_renderer_tpu.io.synth import synthetic_scene_vec
+    from gswt_renderer_tpu.render.pipeline import RendererConfig
+
+    t0 = time.time()
+    sv = synthetic_scene_vec(n_lod=5, splats_per_tile=8192, lod_decay=4)
+    eng = Engine(sv, viewport=(width, height),
+                 renderer_config=RendererConfig(width=width, height=height),
+                 synchronous=True)
+    eng.configure(UserData.from_ui(
+        tile_map_half_wh=(48, 48), surface_type=SurfaceType.HEIGHT_MAP,
+        height_map_wh=(10, 10), height_map_scale=(1.0, 0.3),
+        lod_max_dist=96.0, merge_dot_threshold=0.2, merge_topk=100,
+    ))
+    assert eng.wait_ready(timeout_s=600)
+    for _ in range(2):
+        eng.frame(readback=False)
+    times = []
+    for _ in range(n_frames):
+        eng.camera.translate(np.array([0.05, 0.1, 0.0], np.float32))
+        t1 = time.time()
+        eng.frame(readback=False)
+        times.append((time.time() - t1) * 1e3)
+    eng.shutdown()
+    med = float(np.median(times))
+    kept = [t for t in times if t <= 3.0 * med] or times
+    ms = float(np.mean(kept))
+    aux = eng.renderer.last_aux or {}
+    return dict(
+        fps=round(1000.0 / ms, 2) if ms > 0 else 0.0,
+        frame_ms=round(ms, 1),
+        n_pairs=int(aux.get("n_pairs", 0)),
+        stall_discards=len(times) - len(kept),
+        setup_s=round(time.time() - t0 - sum(times) / 1e3, 1),
+    )
 
 
 def main():
@@ -73,8 +119,23 @@ def main():
         merge_topk=100,
         cache_size=1024,
     )
+    # the full paper config renders skybox + proxy ground every frame
+    # (state.rs:384-401); same textures as benchmarks/configs.py config 4
+    sky = np.clip(
+        np.linspace(0, 4, 64)[:, None, None]
+        * np.ones((64, 128, 3), np.float32), 0, 4)
+    eng.set_skybox(sky, equirect=True)
+    checker = np.kron(
+        np.indices((64, 64)).sum(0) % 2, np.ones((8, 8))
+    ).astype(np.float32)
+    eng.set_proxy(np.stack(
+        [checker * 0.8 + 0.1, checker * 0.5 + 0.2, checker * 0.3 + 0.1],
+        axis=-1,
+    ))
+    t_scene = time.time()
     eng.configure(ud)
     assert eng.wait_ready(timeout_s=300), "engine did not produce a frame"
+    t_ready = time.time()
 
     # scripted fly path crossing several tiles with a turn, ping-ponged out
     # to 60 s so the timed run covers >= 200 frames WITHOUT camera teleports
@@ -115,8 +176,18 @@ def main():
     fp.pause_path()
     n_compiles_warm = len(getattr(eng.renderer, "compile_events", []))
 
+    t_warm = time.time()
     result = eng.run_benchmark(fp, readback=False)
     eng.shutdown()
+
+    # dense row (VERDICT r2: 8192-splat lod-0 tiles, 5-LOD /4 chain):
+    # a short sync measurement with the same stall discard
+    dense = None
+    if not os.environ.get("GSWT_BENCH_NO_DENSE"):
+        try:
+            dense = _dense_row(width, height)
+        except Exception as e:  # pragma: no cover - report, don't fail
+            dense = {"error": str(e)[:200]}
 
     # headline = 16-frame-window MEDIAN throughput: the dev harness's
     # tunnel randomly stalls for seconds at a time (the same build measured
@@ -132,21 +203,38 @@ def main():
         fps_wall=round(result["fps"], 2),
         frame_ms=round(result["frame_ms"][0], 2),
         median_frame_ms=round(result["median_frame_ms"], 2),
+        clean_frame_ms=round(result["clean_frame_ms"], 2),
+        stall_windows=result["stall_windows"],
+        n_windows=result["n_windows"],
         sort_ms=round(result["sort_ms"][0], 2),
         build_ms=round(result["build_ms"][0], 2),
         sort_trigger=round(result["sort_trigger"], 3),
+        builder_load=round(result["builder_load"], 3),
+        overflow_frames=getattr(eng.renderer, "overflow_frames", 0),
         n_pairs=n_pairs,
         splats_per_tile=splats,
+        use_skybox=True,
+        use_proxy=True,
         # compositor throughput: (tile,splat) pairs composited per second
         splats_composited_per_s=round(n_pairs * fps / 1e6, 1),
-        setup_s=round(time.time() - t_start - result["wall_ms"] / 1e3, 1),
+        setup_s=round(t_warm - t_start, 1),
+        setup_split_s=dict(
+            imports_and_scene=round(t_scene - t_start, 1),
+            configure_to_first_frame=round(t_ready - t_scene, 1),
+            warmup_compiles=round(t_warm - t_ready, 1),
+        ),
         recompiles_in_run=len(getattr(eng.renderer, "compile_events", []))
         - n_compiles_warm,
     )
+    if dense is not None:
+        meta["dense"] = dense
     print(
         json.dumps(
             {
-                "metric": "1080p infinite-terrain fly-through FPS (device-complete)",
+                "metric": (
+                    "1080p full-config (skybox+proxy) infinite-terrain "
+                    "fly-through FPS (device-complete)"
+                ),
                 "value": round(fps, 2),
                 "unit": "fps",
                 "vs_baseline": round(fps / 60.0, 4),

@@ -41,20 +41,24 @@ def _mk_engine(viewport, **ud_kw):
 
 
 def _time_frames(eng, moves, n_warm=3, n_iter=None):
-    import jax
-
+    """Median per-frame time with the automated stall discard (windows
+    > 3x median are tunnel stalls, not renderer time; the discard count is
+    reported so a stall-dominated row is visibly suspect)."""
     n_iter = n_iter or len(moves)
     for _ in range(n_warm):
-        img = eng.frame(readback=False)
-    t0 = time.perf_counter()
-    k = 0
+        eng.frame(readback=False)
+    times = []
     for i in range(n_iter):
         eng.camera.translate(moves[i % len(moves)])
+        t0 = time.perf_counter()
         img = eng.frame(readback=False)
-        if img is not None:
-            k += 1  # Engine.frame already barriers on a pixel probe
-    dt = (time.perf_counter() - t0) / max(k, 1)
-    return dt * 1000.0, k
+        if img is not None:  # Engine.frame already barriers on a pixel probe
+            times.append((time.perf_counter() - t0) * 1e3)
+    if not times:
+        return 0.0, 0, 0
+    med = float(np.median(times))
+    kept = [t for t in times if t <= 3.0 * med] or times
+    return float(np.mean(kept)), len(kept), len(times) - len(kept)
 
 
 def emit(name, ms, extra=None):
@@ -82,8 +86,8 @@ def main():
         merge_type=SelectiveMergeType.NONE, tile_sort_type=TileSortType.DISTANCE,
         lod_blending=False, lod_max_dist=8.0, height_map_scale=(1.0, 0.0),
     )
-    ms, k = _time_frames(eng, [np.zeros(3, np.float32)] * n)
-    emit("1_single_tile_512", ms, {"frames": k})
+    ms, k, dropped = _time_frames(eng, [np.zeros(3, np.float32)] * n)
+    emit("1_single_tile_512", ms, {"frames": k, "stall_discards": dropped})
 
     # config 2: 4x4-ish terrain, no merging/LOD, 800x600
     eng = _mk_engine(
@@ -91,8 +95,8 @@ def main():
         merge_type=SelectiveMergeType.NONE, tile_sort_type=TileSortType.DISTANCE,
         lod_blending=False, lod_max_dist=8.0, height_map_scale=(1.0, 0.0),
     )
-    ms, k = _time_frames(eng, moves)
-    emit("2_terrain_4x4_800x600", ms, {"frames": k})
+    ms, k, dropped = _time_frames(eng, moves)
+    emit("2_terrain_4x4_800x600", ms, {"frames": k, "stall_discards": dropped})
 
     # config 3: infinite terrain + merging, 1080p
     eng = _mk_engine(
@@ -101,8 +105,8 @@ def main():
         height_map_scale=(1.0, 0.3), lod_max_dist=96.0,
         merge_dot_threshold=0.2, merge_topk=100,
     )
-    ms, k = _time_frames(eng, moves)
-    emit("3_infinite_1080p", ms, {"frames": k})
+    ms, k, dropped = _time_frames(eng, moves)
+    emit("3_infinite_1080p", ms, {"frames": k, "stall_discards": dropped})
 
     # config 3d: dense tiles (8192 splats/tile at lod 0, 5-level /4 LOD
     # chain — the reference's deep-LOD regime) on the same 1080p terrain
@@ -122,10 +126,11 @@ def main():
         lod_max_dist=96.0, merge_dot_threshold=0.2, merge_topk=100,
     ))
     assert eng.wait_ready(timeout_s=600)
-    ms, k = _time_frames(eng, moves)
+    ms, k, dropped = _time_frames(eng, moves)
     aux = eng.renderer.last_aux or {}
     emit("3d_dense_8k_5lod_1080p", ms,
-         {"frames": k, "n_pairs": int(aux.get("n_pairs", 0))})
+         {"frames": k, "stall_discards": dropped,
+          "n_pairs": int(aux.get("n_pairs", 0))})
     eng.shutdown()
     eng = _mk_engine(
         (1920, 1080), tile_map_half_wh=(48, 48),
@@ -147,8 +152,8 @@ def main():
         axis=-1,
     ))
     eng.use_proxy = True
-    ms, k = _time_frames(eng, moves)
-    emit("4_full_skybox_proxy_1080p", ms, {"frames": k})
+    ms, k, dropped = _time_frames(eng, moves)
+    emit("4_full_skybox_proxy_1080p", ms, {"frames": k, "stall_discards": dropped})
 
     # config 4b: the same full config at 4K (BASELINE.md row)
     eng.shutdown()
@@ -159,8 +164,8 @@ def main():
         merge_dot_threshold=0.2, merge_topk=100,
     )
     eng.set_skybox(sky, equirect=True)
-    ms, k = _time_frames(eng, moves)
-    emit("4b_full_skybox_4k", ms, {"frames": k})
+    ms, k, dropped = _time_frames(eng, moves)
+    emit("4b_full_skybox_4k", ms, {"frames": k, "stall_discards": dropped})
 
     # config 5: batched cameras (camera-parallel path on the local mesh)
     import jax

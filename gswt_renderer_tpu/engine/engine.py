@@ -414,20 +414,38 @@ class Engine:
             (stamps[i + win] - stamps[i]) / win
             for i in range(0, len(stamps) - win, win)
         ]
-        wins.sort()
-        median_ms = wins[len(wins) // 2] if wins else (
+        swins = sorted(wins)
+        median_ms = swins[len(swins) // 2] if swins else (
             wall / frames if frames else 0.0
         )
+        # automated stall discard (the dev tunnel randomly stalls for
+        # seconds): windows > 3x the median are environmental, not
+        # renderer-bound; the discard COUNT is always reported so a run
+        # where stalls dominate is visibly suspect
+        kept = [w for w in wins if w <= 3.0 * median_ms] or wins
+        stall_windows = len(wins) - len(kept)
+        clean_ms = float(np.mean(kept)) if kept else median_ms
         return dict(
             frames=frames,
             wall_ms=wall,
             fps=frames / (wall / 1000.0) if wall > 0 else 0.0,
             median_frame_ms=median_ms,
+            clean_frame_ms=clean_ms,
+            n_windows=len(wins),
+            stall_windows=stall_windows,
             frame_ms=(f_avg, f_std),
             sort_ms=(s_avg, s_std),
             build_ms=(b_avg, b_std),
             sort_trigger=self.sort_trigger_ma.calc()[0],
             build_trigger=self.build_trigger_ma.calc()[0],
+            # builder-limited diagnostic (VERDICT r2 #7): the fraction of
+            # the frame budget the builder thread's work would occupy if
+            # it were serialized — < 1 means sorting fully overlaps
+            builder_load=(
+                (s_avg * self.sort_trigger_ma.calc()[0]
+                 + b_avg * self.build_trigger_ma.calc()[0]) / median_ms
+                if median_ms > 0 else 0.0
+            ),
         )
 
     def hud_text(self) -> str:
