@@ -174,6 +174,10 @@ def trace_ops(r, sp, rc, staged, camera, outdir="/tmp/gswt_prof"):
         stage = next((v for k, v in STAGES.items() if k in name), name)
         agg[stage] = agg.get(stage, 0.0) + t
         total += t
+    if total == 0:
+        print("[prof] no device op rows in trace (axon tunnel omits device "
+              "op stats); use manual stage bisection instead", file=sys.stderr)
+        return
     print(f"\n[prof] device self-time by op category (3 frames):", file=sys.stderr)
     for k, v in sorted(agg.items(), key=lambda kv: -kv[1]):
         print(f"  {k:28s} {v/3000.0:8.1f} ms/frame  {100*v/total:5.1f}%",

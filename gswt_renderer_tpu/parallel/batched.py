@@ -56,6 +56,34 @@ def composite_over(front, back):
     return front + t * back
 
 
+def _bg_inputs(renderer, rc, use_skybox: bool, use_proxy: bool):
+    """Background-pass inputs mirroring Renderer.render(): the resolved
+    (use_skybox, use_proxy) flags, replicated textures, and the static
+    proxy_opts tuple (part of the jit cache key)."""
+    import jax.numpy as jnp
+
+    use_skybox = bool(use_skybox and renderer.skybox_tex is not None)
+    use_proxy = bool(use_proxy and renderer.proxy_tex is not None)
+    sky = renderer.skybox_tex if use_skybox else jnp.zeros((1, 1, 3))
+    prox = dict(
+        atlas=(renderer.proxy_tex if use_proxy
+               else jnp.zeros((12, 1), jnp.float32)),
+        verts=getattr(renderer, "proxy_verts", jnp.zeros((2, 4), jnp.float32)),
+        tris=getattr(renderer, "proxy_tris", jnp.zeros((3, 2), jnp.int32)),
+    )
+    proxy_opts = (
+        ("height_offset", float(rc.proxy_height)),
+        ("brightness", float(rc.proxy_brightness)),
+        ("black_background", bool(rc.proxy_black_background)),
+        ("use_clip", bool(rc.use_clip)),
+        ("clip_height", float(rc.clip_height)),
+        ("mip_meta", getattr(renderer, "proxy_mip_meta", ((1, 1, 0),))),
+        ("proxy_pairs",
+         renderer._proxy_bucket() if use_proxy else 1 << 12),
+    )
+    return use_skybox, use_proxy, sky, prox, proxy_opts
+
+
 def pack_camera_batch(renderer, scene_params, cameras, render_config=None):
     """Stack per-camera packed uniform vectors [B, UNIFORMS_LEN]."""
     from ..core.camera import CameraUniforms
@@ -73,34 +101,35 @@ def pack_camera_batch(renderer, scene_params, cameras, render_config=None):
 
 
 def render_cameras_sharded(renderer, staged, scene_params, cam_batch, mesh,
-                           render_config=None):
+                           render_config=None, *, use_skybox=False,
+                           use_proxy=False):
     """Render a batch of cameras, sharded over the mesh 'dp' axis.
 
     cam_batch: [B, UNIFORMS_LEN] packed uniforms (pack_camera_batch). B must
     divide by mesh dp size. Returns images [B, H, W, 4] sharded over dp.
+    use_skybox/use_proxy render the full paper frame per camera
+    (state.rs:384-401) with the renderer's uploaded textures.
     """
     from ..core.config import RenderConfig
 
     rc = render_config or RenderConfig.new(renderer.engine.n_tiles[0])
     stream = staged["stream"]
     draw = staged["draw"]
+    use_skybox, use_proxy, sky, prox, proxy_opts = _bg_inputs(
+        renderer, rc, use_skybox, use_proxy
+    )
     frame = functools.partial(
         renderer._frame_packed,
         surface_type=int(scene_params.surface_type),
         draw_mode=int(rc.draw_mode),
         point_cloud=bool(rc.draw_point_cloud),
-        use_skybox=False,
-        use_proxy=False,
-        proxy_opts={},
-    )
-    sky = jnp.zeros((1, 1, 3))
-    prox = dict(
-        atlas=jnp.zeros((12, 1), jnp.float32),
-        verts=jnp.zeros((2, 4), jnp.float32),
-        tris=jnp.zeros((3, 2), jnp.int32),
+        use_skybox=use_skybox,
+        use_proxy=use_proxy,
+        proxy_opts=dict(proxy_opts),
     )
 
-    def per_device(cams_local, store, panels, stream, draw, hm4, hm_src):
+    def per_device(cams_local, store, panels, stream, draw, hm4, hm_src,
+                   sky, prox):
         def body(carry, cam):
             img, _ = frame(store, panels, stream, draw, cam, hm4, sky, prox,
                            hm_src=hm_src)
@@ -113,30 +142,38 @@ def render_cameras_sharded(renderer, staged, scene_params, cam_batch, mesh,
     # call re-traces the whole frame (~8s of host time at 1080p)
     key = ("dp", tuple(mesh.shape.items()), cam_batch.shape,
            staged["s_pad"], int(rc.draw_mode),
-           int(scene_params.surface_type), bool(rc.draw_point_cloud))
+           int(scene_params.surface_type), bool(rc.draw_point_cloud),
+           use_skybox, use_proxy, proxy_opts)
     cache = renderer.__dict__.setdefault("_sharded_jit", {})
     if key not in cache:
         cache[key] = jax.jit(jax.shard_map(
             per_device,
             mesh=mesh,
-            in_specs=(P("dp"), P(), P(), P(), P(), P(), P()),
+            in_specs=(P("dp"), P(), P(), P(), P(), P(), P(), P(), P()),
             out_specs=P("dp"),
             check_vma=False,
         ))
     return cache[key](
         cam_batch, renderer.store_packed, renderer.panels, stream, draw,
-        renderer.hm4, _hm_src(renderer),
+        renderer.hm4, _hm_src(renderer), sky, prox,
     )
 
 
 def render_stream_sharded(renderer, staged, scene_params, camera, mesh,
-                          render_config=None):
+                          render_config=None, *, use_skybox=False,
+                          use_proxy=False):
     """Render ONE camera with the splat stream sharded over the 'sp' axis.
 
     Each device projects/bins/composites its contiguous front-to-back stream
     segment; the segment images fold with the associative over-operator in
-    stream order (front segment = shard 0). Returns the final [H, W, 4]
-    image (replicated)."""
+    stream order (front segment = shard 0). With skybox/proxy on, every
+    shard computes the SAME background + proxy depth (per-pixel work,
+    independent of the stream; the depth test needs it on every shard —
+    proxy.rs:119-125 semantics), shards composite their splat segments over
+    a ZERO background, and the folded result lands on the background once:
+      final = fold(gs_0 ... gs_{n-1}) + T_total * bg
+    which is algebraically the single-device  gs + T * bg. Returns the
+    final [H, W, 4] image (replicated)."""
     from ..core.camera import CameraUniforms
     from ..core.config import RenderConfig
 
@@ -153,53 +190,58 @@ def render_stream_sharded(renderer, staged, scene_params, camera, mesh,
     nb = stream["blocks"].shape[1]
     assert nb % n_sp == 0, (nb, n_sp)
 
-    frame = functools.partial(
-        renderer._frame_packed,
+    use_skybox, use_proxy, sky, prox, proxy_opts = _bg_inputs(
+        renderer, rc, use_skybox, use_proxy
+    )
+    front = functools.partial(
+        renderer._frame_front,
         surface_type=int(scene_params.surface_type),
         draw_mode=int(rc.draw_mode),
         point_cloud=bool(rc.draw_point_cloud),
-        use_skybox=False,
-        use_proxy=False,
-        proxy_opts={},
-    )
-    sky = jnp.zeros((1, 1, 3))
-    prox = dict(
-        atlas=jnp.zeros((12, 1), jnp.float32),
-        verts=jnp.zeros((2, 4), jnp.float32),
-        tris=jnp.zeros((3, 2), jnp.int32),
+        use_skybox=use_skybox,
+        use_proxy=use_proxy,
+        proxy_opts=dict(proxy_opts),
     )
 
     def per_device(blocks_local, store, panels, merged, draw, uniforms,
-                   hm4, hm_src):
+                   hm4, hm_src, sky, prox):
         # each shard assembles + composites its contiguous block range of
         # the front-to-back stream (panels + merged scratch replicated)
-        img, _ = frame(
+        binned, bg, depth_tiles, _aux = front(
             store, panels, dict(blocks=blocks_local, merged=merged),
             draw, uniforms, hm4, sky, prox, hm_src=hm_src,
         )
+        # splat segment over a zero background (the real bg lands after
+        # the fold); the proxy depth still gates every shard's raster
+        gs = renderer._frame_back(
+            binned, jnp.zeros_like(bg), depth_tiles, use_proxy=use_proxy
+        )
         # fold segment images front-to-back across 'sp'
-        imgs = jax.lax.all_gather(img, "sp")  # [n_sp, H, W, 4]
+        imgs = jax.lax.all_gather(gs, "sp")  # [n_sp, H, W, 4]
 
         def fold(carry, nxt):
             return composite_over(carry, nxt), None
 
         out, _ = jax.lax.scan(fold, imgs[0], imgs[1:])
+        out = out + (1.0 - out[..., 3:4]) * bg
         return out[None]
 
     # cached compiled program (see render_cameras_sharded)
     key = ("sp", tuple(mesh.shape.items()), nb, staged["s_pad"],
            int(rc.draw_mode), int(scene_params.surface_type),
-           bool(rc.draw_point_cloud))
+           bool(rc.draw_point_cloud), use_skybox, use_proxy, proxy_opts)
     cache = renderer.__dict__.setdefault("_sharded_jit", {})
     if key not in cache:
         cache[key] = jax.jit(jax.shard_map(
             per_device,
             mesh=mesh,
-            in_specs=(P(None, "sp"), P(), P(), P(), P(), P(), P(), P()),
+            in_specs=(P(None, "sp"), P(), P(), P(), P(), P(), P(), P(),
+                      P(), P()),
             out_specs=P(),
             check_vma=False,
         ))
     return cache[key](
         stream["blocks"], renderer.store_packed, renderer.panels,
         stream["merged"], draw, uniforms, renderer.hm4, _hm_src(renderer),
+        sky, prox,
     )

@@ -178,3 +178,65 @@ def test_composite_over_identity():
     zero = np.zeros_like(img)
     assert np.allclose(composite_over(zero, img), img)
     assert np.allclose(composite_over(img, zero), img)
+
+
+@pytest.fixture(scope="module")
+def scene_bg(scene):
+    """The same scene with skybox + proxy textures uploaded and a
+    single-device full-config reference (VERDICT r2 #2)."""
+    r = scene["r"]
+    sky = np.clip(np.linspace(0, 3, 16)[:, None, None]
+                  * np.ones((16, 32, 3), np.float32), 0, 3)
+    checker = np.kron(np.indices((8, 8)).sum(0) % 2,
+                      np.ones((4, 4))).astype(np.float32)
+    r.set_skybox(sky, equirect=True)
+    r.set_proxy(np.stack([checker, checker * 0.5, checker * 0.2], axis=-1))
+    ref = r.render(None, scene["camera"], scene["sp"], scene["rc"],
+                   staged=scene["staged"], use_skybox=True, use_proxy=True,
+                   as_numpy=True)
+    assert ref[..., 3].min() > 0.99, "skybox must make the frame opaque"
+    return dict(scene, ref_bg=ref)
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 4)])
+def test_stream_parallel_full_config(scene_bg, shape):
+    """Sharded skybox+proxy rendering matches the single-device full frame:
+    every shard depth-tests against the same proxy depth, and the
+    background lands once after the segment fold."""
+    mesh = make_mesh(shape)
+    img = render_stream_sharded(
+        scene_bg["r"], scene_bg["staged"], scene_bg["sp"],
+        scene_bg["camera"], mesh, scene_bg["rc"],
+        use_skybox=True, use_proxy=True,
+    )
+    got = np.asarray(jax.device_get(img)).reshape(scene_bg["ref_bg"].shape)
+    err = np.abs(got - scene_bg["ref_bg"]).max()
+    assert err < 1e-3, f"mesh {shape}: full-config sp max err {err}"
+
+
+def test_camera_parallel_full_config(scene_bg):
+    mesh = make_mesh((4, 2))
+    cams = [
+        Camera(
+            (64, 64),
+            np.array([0.3 * i - 0.5, 0.2 * i, 4.0 + 0.1 * i], np.float32),
+            (0.3 * i - 0.5, 8.0, 1.0), (0.0, 0.0, 1.0),
+            np.deg2rad(45.0), 0.1, 200.0,
+        )
+        for i in range(4)
+    ]
+    cam_batch = pack_camera_batch(scene_bg["r"], scene_bg["sp"], cams,
+                                  scene_bg["rc"])
+    imgs = render_cameras_sharded(
+        scene_bg["r"], scene_bg["staged"], scene_bg["sp"], cam_batch, mesh,
+        scene_bg["rc"], use_skybox=True, use_proxy=True,
+    )
+    got = np.asarray(jax.device_get(imgs))
+    for i in (0, 3):
+        ref = scene_bg["r"].render(
+            None, cams[i], scene_bg["sp"], scene_bg["rc"],
+            staged=scene_bg["staged"], use_skybox=True, use_proxy=True,
+            as_numpy=True,
+        )
+        err = np.abs(got[i].reshape(ref.shape) - ref).max()
+        assert err < 1e-3, f"camera {i} full-config dp: max err {err}"
