@@ -52,11 +52,16 @@ PANEL_ROWS = 16     # pos xyz, cov 6, rgba u32, packed gs|lod, map id, 4 pad
 
 
 def _next_pow2(n, lo, hi):
-    """Smallest bucket >= n from {p, 1.5p} power-of-two ladders in [lo, hi]."""
+    """Smallest bucket >= n from {p, 1.25p, 1.5p} power-of-two ladders in
+    [lo, hi]. The 1.25 rung cuts average padding ~8% across every sort/
+    gather/scan domain (binning cost is linear in the bucket); grow-only
+    session floors keep the extra rung from causing recompile thrash."""
     v = lo
     while v < hi:
         if n <= v:
             return v
+        if n <= v + v // 4:
+            return v + v // 4
         if n <= v + v // 2:
             return v + v // 2
         v *= 2
@@ -86,8 +91,11 @@ class RendererConfig:
     pairs_factor: float = 0.45
     live_factor: float = 0.5
     interpret: bool | None = None  # None = auto (interpret off on TPU)
-    # exact=True renders bit-matched to the WGSL/oracle math; the default
-    # fast profile packs the pair table (bf16 q + u8 rgba) and uses the
+    # exact=True follows the WGSL/oracle math ALGEBRAICALLY (the ln-alpha
+    # exponent fold and per-tile recentering change f32 rounding, so it is
+    # f32-rounding-identical, not bit-identical — parity-tested against
+    # the unmodified per-pixel oracle at <=1e-3); the default fast profile
+    # additionally packs the pair table (bf16 q + u8 rgba) and uses the
     # analytic height-map gradient — deviations bounded by ~1-2/255, under
     # the reference's own 8-bit ROP quantization (PARITY.md #8)
     exact: bool = False
