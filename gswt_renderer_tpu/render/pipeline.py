@@ -88,8 +88,11 @@ class RendererConfig:
     #   the 1080p bench scene
     # - live_factor seeds the live-splat compaction bucket — measured
     #   ~0.28/lane (the stream is mostly culled splats at typical cameras)
-    pairs_factor: float = 0.45
-    live_factor: float = 0.5
+    # (tightened round 3 with the 1.25x ladder rung: measured demand at the
+    # bench is ~0.29 extra-pairs/lane and ~0.28 live/lane; the warmup walk
+    # absorbs any grow-retry before timing)
+    pairs_factor: float = 0.35
+    live_factor: float = 0.38
     interpret: bool | None = None  # None = auto (interpret off on TPU)
     # exact=True follows the WGSL/oracle math ALGEBRAICALLY (the ln-alpha
     # exponent fold and per-tile recentering change f32 rounding, so it is
