@@ -32,6 +32,7 @@ import numpy as np
 
 from .project import _bilinear_wrap4
 from .skybox import pixel_rays
+from .texsample import factored_mip_trilinear
 from .trirast import rasterize_triangles, tiles_to_maps, triangle_planes
 
 
@@ -365,13 +366,18 @@ def render_proxy(
     cam, scene, image_wh, hm4, hm_wh, proxy, proxy_wh,
     *, surface_type: int, height_offset: float, brightness: float,
     black_background: bool, use_clip: bool, clip_height: float,
-    mip_meta=None, tile_wh=(64, 32), chunk: int = 128,
+    mip_meta=None, mip_pyr=None, tile_wh=(64, 32), chunk: int = 128,
     interpret: bool = False, use_grid: bool = True,
     n_steps: int = 96, max_dist: float = 2400.0,
     proxy_pairs: int | None = None,
 ):
     """Hybrid proxy pass. proxy: dict(atlas [12, total], verts [2, Nv],
-    tris [3, T]) with mip_meta the static per-level (w, h, off) tuple.
+    tris [3, T], optional pyr [3, Hp, Wp]) with mip_meta the static
+    per-level (w, h, off) tuple. When mip_pyr (the static (meta, l_min)
+    from texsample.pack_pyramid) is given and proxy carries the packed
+    pyramid planes, mip sampling runs gather-free on the MXU (fast
+    profile; levels finer than l_min clamp — documented in PARITY.md);
+    otherwise the per-pixel 2-gather trilinear atlas path runs (exact).
     Returns (color [H,W,4], depth [H,W] wgpu clip z, hit [H,W], aux)."""
     w_img, h_img = image_wh
     if use_grid:
@@ -404,7 +410,14 @@ def render_proxy(
     else:
         meta = mip_meta or ((int(proxy_wh[0]), int(proxy_wh[1]), 0),)
         rho = _uv_footprint(u, v, float(meta[0][0]), float(meta[0][1]))
-        rgb = sample_mip_trilinear(proxy["atlas"], meta, u, v, rho)
+        if mip_pyr is not None and proxy.get("pyr") is not None:
+            pyr_meta, l_min = mip_pyr
+            rgb = factored_mip_trilinear(
+                proxy["pyr"], pyr_meta, l_min, u, v, rho,
+                interpret=interpret,
+            ).transpose(1, 2, 0)
+        else:
+            rgb = sample_mip_trilinear(proxy["atlas"], meta, u, v, rho)
         rgb = rgb * brightness
     color = jnp.concatenate(
         [rgb, jnp.ones((h_img, w_img, 1), jnp.float32)], axis=-1

@@ -137,3 +137,200 @@ def factored_fits(tex_shape) -> bool:
     """True if [C, Ht, Wt] is small enough for the VMEM-resident kernel."""
     n_ch, ht, wt = tex_shape
     return n_ch * ht <= 512 and wt <= 512 and n_ch * ht * wt * 4 <= 2 << 20
+
+
+# ====================================================================== #
+# Whole-mip-chain trilinear sampling as ONE factored matmul
+# ====================================================================== #
+#
+# Trilinear mip sampling = (1-f)*bilinear(level l0) + f*bilinear(l0+1).
+# Pack the mip levels BLOCK-DIAGONALLY into one texture plane (level k at
+# rows [ro_k, ro_k+h_k), cols [co_k, co_k+w_k), zeros elsewhere): then for
+# one-hot row weights Wy (support only in l0's and l1's row ranges) and
+# column weights Wx (support only in their column ranges),
+#
+#     out[p] = Wy[:, p]^T · T · Wx[:, p]
+#            = Wy_l0^T T_l0 Wx_l0  +  Wy_l1^T T_l1 Wx_l1
+#
+# EXACTLY — the cross terms read zero blocks, so folding the (1-f, f)
+# level weights into Wx makes the whole trilinear fetch one matmul with
+# 4-hot columns. A 512^2 rgb chain clamped at level 2 packs to
+# [3*255, 255] — VMEM-resident, ~0.4 GMAC per 2048-pixel block.
+#
+# Precision: the planes hold the u8 texel values AS INTEGERS 0..255,
+# which bf16 represents exactly (8 mantissa bits); the /255 happens in
+# f32 after the matmul, so the only rounding is the bf16 weights
+# (<= 2^-9 relative => <= ~0.5/255 absolute on the result).
+
+PYR_ROW_BUDGET = 256  # per-channel packed rows (3*256 rows total in VMEM)
+
+
+def pyramid_l_min(w0: int) -> int:
+    """Finest level the packed pyramid keeps: skip levels taller than 128
+    so the per-channel block-diagonal pack stays <= PYR_ROW_BUDGET rows
+    (a 512^2 texture clamps to level 2; <= 256^2 keeps every level)."""
+    l = 0
+    while (w0 >> l) > 128:
+        l += 1
+    return l
+
+
+def pack_pyramid(mips):
+    """mips: list of [H,W,3] f32 levels (values in [0,1], u8-quantized by
+    the caller's chain builder). Returns (planes bf16 [3, Hp, Wp] holding
+    0..255 integer texel values, meta tuple of (w, h, row_off, col_off)
+    per KEPT level, l_min). Levels finer than `pyramid_l_min` are dropped
+    (sampling clamps to l_min — the documented fast-profile near-field
+    mip clamp)."""
+    w0 = int(np.asarray(mips[0]).shape[1])
+    l_min = pyramid_l_min(w0)
+    kept = mips[l_min:]
+    hs = [int(np.asarray(m).shape[0]) for m in kept]
+    ws = [int(np.asarray(m).shape[1]) for m in kept]
+    hp = -(-sum(hs) // 8) * 8
+    wp = -(-sum(ws) // 128) * 128
+    planes = np.zeros((3, hp, wp), np.float32)
+    meta = []
+    ro = co = 0
+    for m, h, w in zip(kept, hs, ws):
+        q = np.clip(np.round(np.asarray(m, np.float32) * 255.0), 0, 255)
+        planes[:, ro : ro + h, co : co + w] = q.transpose(2, 0, 1)
+        meta.append((w, h, ro, co))
+        ro += h
+        co += w
+    return planes.astype(jnp.bfloat16), tuple(meta), l_min
+
+
+def _mip_kernel(tex_ref, xw_ref, out_ref, *, n_ch, hp, wp):
+    """tex_ref: [n_ch*hp, wp] bf16 block-diagonal pyramid (integer texels);
+    xw_ref: [16, B] f32 — rows 0..7 = (col, weight) x 4 taps (level
+    weights folded in), rows 8..15 = (row, weight) x 4 taps;
+    out_ref: [n_ch, B] f32 in [0,1]."""
+    b = xw_ref.shape[1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (wp, b), 0)
+    wx = jnp.zeros((wp, b), jnp.float32)
+    for k in range(4):
+        cxk = xw_ref[2 * k : 2 * k + 1, :].astype(jnp.int32)
+        wxk = xw_ref[2 * k + 1 : 2 * k + 2, :]
+        wx = wx + jnp.where(cols == cxk, wxk, 0.0)
+    a = jax.lax.dot_general(
+        tex_ref[:], wx.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )  # [n_ch*hp, B] f32
+    rows = jax.lax.broadcasted_iota(jnp.int32, (hp, b), 0)
+    wy = jnp.zeros((hp, b), jnp.float32)
+    for k in range(4):
+        ryk = xw_ref[8 + 2 * k : 9 + 2 * k, :].astype(jnp.int32)
+        wyk = xw_ref[9 + 2 * k : 10 + 2 * k, :]
+        wy = wy + jnp.where(rows == ryk, wyk, 0.0)
+    inv255 = jnp.float32(1.0 / 255.0)
+    for c in range(n_ch):
+        ac = a[c * hp : (c + 1) * hp, :]
+        out_ref[c : c + 1, :] = (
+            jnp.sum(wy * ac, axis=0, keepdims=True) * inv255
+        )
+
+
+def _level_params(meta, l_i):
+    """Per-pixel (w, h, ro, co) f32 via a select chain over static levels
+    (l_i indexes into the KEPT levels, 0-based)."""
+    out = []
+    for j in range(4):
+        v = jnp.full(l_i.shape, float(meta[0][j]), jnp.float32)
+        for k in range(1, len(meta)):
+            v = jnp.where(l_i == k, float(meta[k][j]), v)
+        out.append(v)
+    return out
+
+
+def _tap_rows(meta, l_i, u, v, lw):
+    """One level's 8 xw rows: wrapped (col, w) x2 and (row, w) x2, with the
+    level weight lw folded into the COLUMN weights (rows carry plain
+    bilinear weights; the block-diagonal pack keeps levels separable)."""
+    w, h, ro, co = _level_params(meta, l_i)
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    tx = x - x0f
+    ty = y - y0f
+    # float modulo wrap (Repeat): operands stay well inside f32 integer
+    # range for any plausible terrain uv
+    x0 = x0f - jnp.floor(x0f / w) * w
+    x1 = x0 + 1.0
+    x1 = jnp.where(x1 >= w, 0.0, x1)
+    y0 = y0f - jnp.floor(y0f / h) * h
+    y1 = y0 + 1.0
+    y1 = jnp.where(y1 >= h, 0.0, y1)
+    return [
+        co + x0, (1.0 - tx) * lw, co + x1, tx * lw,
+        ro + y0, 1.0 - ty, ro + y1, ty,
+    ]
+
+
+def factored_mip_trilinear(planes, meta, l_min, u, v, rho,
+                           interpret: bool | None = None):
+    """Gather-free trilinear mip sampling of a pack_pyramid chain.
+
+    planes: [3, Hp, Wp] bf16; meta/l_min from pack_pyramid; u, v: [...]
+    uv in texture-repeat units; rho: footprint in LEVEL-0 texels per pixel
+    (levels below l_min clamp to l_min). Returns [3, ...] f32 rgb."""
+    if interpret is None:
+        try:
+            interpret = jax.devices()[0].platform not in ("tpu", "axon")
+        except Exception:  # pragma: no cover
+            interpret = True
+    n_ch, hp, wp = planes.shape
+    n_kept = len(meta)
+    shape = u.shape
+    uf = u.reshape(-1)
+    vf = v.reshape(-1)
+    rf = rho.reshape(-1)
+    p = uf.shape[0]
+
+    lvl = jnp.clip(
+        jnp.log2(jnp.maximum(rf, 1e-6)) - l_min, 0.0, float(n_kept - 1)
+    )
+    l0 = jnp.floor(lvl).astype(jnp.int32)
+    frac = lvl - l0.astype(jnp.float32)
+    l1 = jnp.minimum(l0 + 1, n_kept - 1)
+    rows0 = _tap_rows(meta, l0, uf, vf, 1.0 - frac)
+    rows1 = _tap_rows(meta, l1, uf, vf, frac)
+    # At the coarsest level l0 == l1: the COLUMN taps coincide and their
+    # folded level weights sum correctly ((1-f)+f, with f exactly 0 there),
+    # but the ROW taps carry plain bilinear weights — accumulated twice
+    # they would double wy and hence the output. Zero rows1's row weights
+    # in that case (its column weights are already 0 via f=0).
+    dup = (l0 == l1).astype(jnp.float32)
+    rows1[5] = rows1[5] * (1.0 - dup)
+    rows1[7] = rows1[7] * (1.0 - dup)
+
+    pp = -(-p // BLOCK) * BLOCK
+    xw = jnp.zeros((16, pp), jnp.float32)
+    order = [
+        rows0[0], rows0[1], rows0[2], rows0[3],
+        rows1[0], rows1[1], rows1[2], rows1[3],
+        rows0[4], rows0[5], rows0[6], rows0[7],
+        rows1[4], rows1[5], rows1[6], rows1[7],
+    ]
+    for i, val in enumerate(order):
+        xw = xw.at[i, :p].set(val)
+
+    kernel = functools.partial(_mip_kernel, n_ch=n_ch, hp=hp, wp=wp)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_ch, pp), jnp.float32),
+        grid=(pp // BLOCK,),
+        in_specs=[
+            pl.BlockSpec((n_ch * hp, wp), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, BLOCK), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n_ch, BLOCK), lambda g: (0, g),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(planes.reshape(n_ch * hp, wp), xw)
+    return out[:, :p].reshape((n_ch,) + shape)

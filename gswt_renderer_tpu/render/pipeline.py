@@ -269,6 +269,12 @@ class Renderer:
         self.proxy_tex = jnp.asarray(atlas)
         self.proxy_mip_meta = meta
         self.proxy_wh = (meta[0][0], meta[0][1])
+        # block-diagonal pyramid for the gather-free fast-profile sampler
+        from ..ops.texsample import pack_pyramid
+
+        pyr, pyr_meta, l_min = pack_pyramid(mips)
+        self.proxy_pyr = jnp.asarray(pyr)
+        self.proxy_pyr_meta = (pyr_meta, l_min)
 
     # ------------------------------------------------------------------ #
     @staticmethod
@@ -868,6 +874,9 @@ class Renderer:
             verts=getattr(self, "proxy_verts", jnp.zeros((2, 4), jnp.float32)),
             tris=getattr(self, "proxy_tris", jnp.zeros((3, 2), jnp.int32)),
         )
+        # the fast profile samples mips via the gather-free pyramid kernel
+        if not self.cfg.exact and getattr(self, "proxy_pyr", None) is not None:
+            prox["pyr"] = self.proxy_pyr
         self.last_overflow_retries = 0
         for _attempt in range(3):
             # proxy_opts rebuilt per attempt: a proxy-pair overflow grows
@@ -879,6 +888,9 @@ class Renderer:
                 ("use_clip", bool(rc.use_clip)),
                 ("clip_height", float(rc.clip_height)),
                 ("mip_meta", getattr(self, "proxy_mip_meta", ((1, 1, 0),))),
+                ("mip_pyr",
+                 getattr(self, "proxy_pyr_meta", None)
+                 if not self.cfg.exact else None),
                 ("proxy_pairs", self._proxy_bucket() if use_proxy else 1 << 12),
             )
             mp = self._pairs_bucket(staged["s_pad"])

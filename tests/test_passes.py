@@ -173,3 +173,72 @@ def test_hdri_cubemap_bake_roundtrip(rng):
     err = np.abs(via_cube - direct)
     assert np.quantile(err, 0.95) < 0.02, float(np.quantile(err, 0.95))
     assert err.mean() < 0.01
+
+
+def test_factored_mip_pyramid_matches_atlas_sampler(rng):
+    """The gather-free block-diagonal mip-pyramid sampler (fast profile)
+    must match the per-pixel 2-gather trilinear atlas path at every level
+    it keeps, including the coarsest-level clamp where l0 == l1 (whose row
+    taps coincide and must not double-count)."""
+    from gswt_renderer_tpu.io.textures import build_mip_chain
+    from gswt_renderer_tpu.ops.proxy import pack_mip_atlas, sample_mip_trilinear
+    from gswt_renderer_tpu.ops.texsample import (
+        factored_mip_trilinear,
+        pack_pyramid,
+    )
+
+    img = rng.uniform(size=(64, 64, 3)).astype(np.float32)
+    mips = build_mip_chain(img)
+    atlas, meta = pack_mip_atlas(mips)
+    planes, pmeta, l_min = pack_pyramid(mips)
+    assert l_min == 0  # 64 <= 128: every level kept
+    n = 600
+    u = rng.uniform(-1.0, 3.0, size=n).astype(np.float32)
+    v = rng.uniform(-1.0, 3.0, size=n).astype(np.float32)
+    # footprints spanning below level 0 (clamp), each transition band,
+    # and far beyond the coarsest level (the l0 == l1 clamp)
+    rho = (2.0 ** rng.uniform(-2.0, len(mips) + 2.0, size=n)).astype(
+        np.float32
+    )
+    exact = np.asarray(
+        sample_mip_trilinear(jnp.asarray(atlas), meta, jnp.asarray(u),
+                             jnp.asarray(v), jnp.asarray(rho))
+    )
+    fast = np.asarray(
+        factored_mip_trilinear(jnp.asarray(planes), pmeta, l_min,
+                               jnp.asarray(u), jnp.asarray(v),
+                               jnp.asarray(rho), interpret=True)
+    ).T
+    err = np.abs(fast - exact)
+    assert err.max() < 0.02, float(err.max())
+    assert err.mean() < 0.004, float(err.mean())
+
+
+def test_factored_mip_pyramid_l_min_clamp():
+    """A 512-wide chain drops levels 0..1 (pyramid_l_min=2); sampling at
+    rho <= 4 must clamp to the kept level-2 bilinear, not read garbage."""
+    from gswt_renderer_tpu.ops.texsample import (
+        factored_mip_trilinear,
+        pack_pyramid,
+        pyramid_l_min,
+    )
+
+    assert pyramid_l_min(512) == 2
+    assert pyramid_l_min(256) == 1
+    assert pyramid_l_min(128) == 0
+    # constant-color chain: any level/any clamp must return the color
+    mips = [np.full((512 >> l, 512 >> l, 3),
+                    [0.25, 0.5, 0.75], np.float32) for l in range(10)]
+    planes, pmeta, l_min = pack_pyramid(mips)
+    assert l_min == 2 and len(pmeta) == 8
+    u = jnp.asarray(np.linspace(0.0, 1.0, 64, dtype=np.float32))
+    v = jnp.asarray(np.linspace(0.0, 1.0, 64, dtype=np.float32))
+    for rho_v in (0.5, 4.0, 100.0, 1e5):
+        out = np.asarray(
+            factored_mip_trilinear(planes, pmeta, l_min, u, v,
+                                   jnp.full((64,), rho_v, jnp.float32),
+                                   interpret=True)
+        )
+        ref = np.array([0.25, 0.5, 0.75])
+        q = np.round(ref * 255.0) / 255.0
+        assert np.abs(out - q[:, None]).max() < 0.01, (rho_v, out[:, 0])
