@@ -89,7 +89,7 @@ def main():
             binned = binning.bin_pairs(
                 p, image_wh=image_wh, tile_wh=tile_wh, max_pairs=max_pairs,
                 chunk=c.chunk, exact=c.exact, max_entries=max_entries,
-                max_live=max_live,
+                max_live=max_live, elem_paths=c.elem_paths,
             )
         return binned
 

@@ -15,7 +15,7 @@ dead at the 1080p bench). bin_pairs therefore:
 2. emits each splat's FIRST and SECOND overlapped tiles elementwise at its
    own compacted slot (the vast majority of the pair mass needs no
    expansion machinery at all);
-3. expands only the k>=2 extras of 3+-tile splats via scatter+cummax plus
+3. expands only the k>=elem_paths extras of wide splats via scatter+cummax plus
    one small per-component gather.
 All paths sort TOGETHER carrying the packed payload rows, keyed by
 (tile, live-rank) packed into one u32 when the bits fit (i32 sort via a
@@ -200,31 +200,31 @@ def build_pair_table(sorted_key, dead, cx, cy, qa, qb, qc, z, r, g, b, a, *,
 
 def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
               exact: bool = True, max_entries: int | None = None,
-              max_live: int | None = None):
+              max_live: int | None = None, elem_paths: int = 2):
     """p: projection outputs (front-to-back order, S lanes). Static:
     image_wh (W,H), tile_wh (tw, th) pixels, max_pairs, chunk, exact,
     max_entries (worklist budget, see build_worklist), max_live (live-splat
     compaction bucket; None or >= S disables compaction).
 
-    Three-path expansion over a LIVE-COMPACTED stream:
+    Multi-path expansion over a LIVE-COMPACTED stream:
     - compaction: one payload-carrying sort moves the visible splats to a
       contiguous [0, n_live) prefix (keys = stream slots, so live order is
       preserved); all downstream domains shrink from S (the padded stream,
       often ~70% culled) to max_live.
-    - paths k=0 and k=1: a splat's first and second overlapped tiles are
-      emitted ELEMENTWISE at its own compacted slot — no expansion
+    - paths k < elem_paths: a splat's first elem_paths overlapped tiles
+      are emitted ELEMENTWISE at its own compacted slot — no expansion
       machinery for ~the entire pair mass.
-    - path k>=2: only the remaining extras of 3+-tile splats go through the
-      scatter+cummax expansion and a small per-component gather; max_pairs
-      budgets ONLY these.
+    - path k>=elem_paths: only the remaining extras of wider splats go
+      through the scatter+cummax expansion and a small per-component
+      gather; max_pairs budgets ONLY these.
 
-    The sort domain is 2*max_live + max_pairs. Returns dict:
+    The sort domain is elem_paths*max_live + max_pairs. Returns dict:
       table — [16, dom] f32 rows k0..k5 (recentered to each pair's tile
         origin, build_pair_table), z, 0, r, g, b, a, 0x4. In the fast
         profile the payload carried through the sorts is quantized (bf16
         q/z, u8 rgba — PARITY.md #8); exact carries f32.
       entry_tf/entry_chunk/range_start/range_end [.] i32 (worklist)
-      n_pairs i32 (true pair demand), n_extra i32 (k>=2 demand — bucket
+      n_pairs i32 (true pair demand), n_extra i32 (k>=elem_paths demand — bucket
         max_pairs on THIS), n_live i32 (bucket max_live on THIS),
       overflow bool
     """
@@ -326,16 +326,21 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
     tile_bits = max(int(np.ceil(np.log2(n_tiles + 1))), 1)
     packed_key = rank_bits + tile_bits <= 32
 
-    # ---- paths k=0, k=1: first two tiles, elementwise at own slot ----
+    # ---- paths k < elem_paths: first tiles, elementwise at own slot ----
     # enumeration k -> (x0 + k%nx, y0 + k//nx): k=0 is (x0, y0); k=1 is
-    # (x0+1, y0) when nx >= 2 else (x0, y0+1)
-    tile1 = jnp.where(live, y0c * ntx + x0c, n_tiles)
-    two = nxc >= 2
-    t1b = (y0c + jnp.where(two, 0, 1)) * ntx + x0c + jnp.where(two, 1, 0)
-    tile1b = jnp.where(live & (countc >= 2), t1b, n_tiles)
+    # (x0+1, y0) when nx >= 2 else (x0, y0+1); etc. Each path is a full
+    # l_pad sort stripe, but it removes a whole rank of the k>=elem_paths
+    # scatter+gather expansion (measured at 1080p: elem 4 cuts the extras
+    # demand ~4x, 0.90M -> 0.22M pairs).
+    elem_tiles = []
+    for j in range(elem_paths):
+        tj = (y0c + j // nxc) * ntx + (x0c + j % nxc)
+        elem_tiles.append(
+            jnp.where(live & (countc >= j + 1), tj, n_tiles)
+        )
 
-    # ---- path k>=2: extras of 3+-tile splats via scatter+cummax ----
-    cnt2 = jnp.maximum(countc - 2, 0)
+    # ---- path k>=elem_paths: remaining extras via scatter+cummax ----
+    cnt2 = jnp.maximum(countc - elem_paths, 0)
     offs2_incl = jnp.cumsum(cnt2, dtype=jnp.int32)
     offs2 = offs2_incl - cnt2
     total2 = offs2_incl[-1]
@@ -348,7 +353,7 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
         rank, mode="drop", unique_indices=True
     )
     sp2 = jnp.maximum(jax.lax.cummax(mark), 0)
-    # one (1+R)-component gather resolves everything path k>=2 needs: the
+    # one (1+R)-component gather resolves everything the extras path needs: the
     # owner's first-pair offset is NOT gathered — it equals the slot where
     # sp2 last changed, recovered by a cummax over the change marks
     g_tab = jnp.stack([bc(bbox_c, jnp.float32)] + payload_c, axis=0)
@@ -357,18 +362,19 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
     pair_i2 = jnp.arange(m2, dtype=jnp.int32)
     run_start = jax.lax.cummax(jnp.where(mark >= 0, pair_i2, -1))
     live2 = pair_i2 < jnp.minimum(total2, m2)
-    k2 = pair_i2 - jnp.maximum(run_start, 0) + 2  # k = 0, 1 ride the stream
+    # k < elem_paths ride the stream elementwise
+    k2 = pair_i2 - jnp.maximum(run_start, 0) + elem_paths
     nx2 = ((bb2 >> 16) & 0xFF) + 1
     tx2 = (bb2 & 0xFF) + k2 % nx2
     ty2 = ((bb2 >> 8) & 0xFF) + k2 // nx2
     tile2 = jnp.where(live2, ty2 * ntx + tx2, n_tiles)
 
     # ---- joint sort carrying payload (no post-sort gather) ----
-    n_dom = 2 * l_pad + m2
-    tiles_all = jnp.concatenate([tile1, tile1b, tile2])
-    ranks_all = jnp.concatenate([rank, rank, sp2])
+    n_dom = elem_paths * l_pad + m2
+    tiles_all = jnp.concatenate(elem_tiles + [tile2])
+    ranks_all = jnp.concatenate([rank] * elem_paths + [sp2])
     rows_all = [
-        jnp.concatenate([payload_c[i], payload_c[i], g_rows[1 + i]])
+        jnp.concatenate([payload_c[i]] * elem_paths + [g_rows[1 + i]])
         for i in range(len(payload_c))
     ]
     if packed_key:
@@ -420,12 +426,12 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
 
     wl = build_worklist(tile_of, n_tiles=n_tiles, max_pairs=n_dom,
                         chunk=chunk, max_entries=max_entries)
-    n_live1b = jnp.sum((tile1b < n_tiles).astype(jnp.int32))
     wl_overflow = wl.pop("wl_overflow")
     return dict(
         table=table,
         **wl,
-        n_pairs=n_live + n_live1b + total2,
+        # true pair demand: sum(min(c, elem)) + sum(max(c-elem, 0)) = sum(c)
+        n_pairs=jnp.sum(countc),
         n_extra=total2,
         n_live=n_live,
         overflow=overflow | wl_overflow,

@@ -83,16 +83,22 @@ class RendererConfig:
     # first-frame budgets as fractions of the stream bucket, chosen to land
     # the FIRST frame on the converged adaptive bucket (one frame-variant
     # compile) instead of paying an overflow retry + recompile:
-    # - pairs_factor seeds the k>=2 extra-pair budget (ops/binning.py path
-    #   3; tiles k=0,1 ride the compacted stream) — measured ~0.29/lane at
-    #   the 1080p bench scene
+    # - pairs_factor seeds the k>=elem_paths extra-pair budget
+    #   (ops/binning.py; the first elem_paths tiles ride the compacted
+    #   stream) — measured ~0.070 extras/lane at the 1080p bench with
+    #   elem_paths=4; x1.5 hint headroom lands on the same 1.5p ladder
+    #   rung the hint path converges to (no second compile)
     # - live_factor seeds the live-splat compaction bucket — measured
     #   ~0.28/lane (the stream is mostly culled splats at typical cameras)
-    # (tightened round 3 with the 1.25x ladder rung: measured demand at the
-    # bench is ~0.29 extra-pairs/lane and ~0.28 live/lane; the warmup walk
-    # absorbs any grow-retry before timing)
-    pairs_factor: float = 0.35
+    pairs_factor: float = 0.11
     live_factor: float = 0.38
+    # how many of a splat's overlapped tiles are emitted elementwise at its
+    # own compacted slot before the scatter+cummax extras path takes over
+    # (ops/binning.py). Each unit adds a max_live stripe to the joint sort
+    # but removes a whole rank from the extras domain; 4 measured best at
+    # the 1080p bench (extras demand 0.90M -> 0.22M, frame 191 -> 174 ms;
+    # 3 and 6 were worse).
+    elem_paths: int = 4
     interpret: bool | None = None  # None = auto (interpret off on TPU)
     # exact=True follows the WGSL/oracle math ALGEBRAICALLY (the ln-alpha
     # exponent fold and per-tile recentering change f32 rounding, so it is
@@ -588,7 +594,7 @@ class Renderer:
             binned = binning.bin_pairs(
                 p, image_wh=image_wh, tile_wh=tile_wh, max_pairs=max_pairs,
                 chunk=c.chunk, exact=c.exact, max_entries=max_entries,
-                max_live=max_live,
+                max_live=max_live, elem_paths=c.elem_paths,
             )
             binned.pop("grid_info")
 

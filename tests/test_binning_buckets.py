@@ -132,3 +132,19 @@ def test_smallmap_sampler_matches_resized_bilinear():
     np.testing.assert_allclose(
         np.asarray(dy), (i01 - i00) * (1 - tx) + (i11 - i10) * tx, atol=2e-6
     )
+
+
+@pytest.mark.parametrize("elem", [1, 3, 4, 6])
+def test_elem_paths_split_is_invisible(elem):
+    """Moving tiles between the elementwise paths and the scatter extras
+    path (bin_pairs elem_paths) must not change any tile's pair sequence;
+    only n_extra (the extras-bucket demand) may differ."""
+    p = _proj(4096, seed=7)
+    base = _run(p, max_live=2048)
+    alt = _run(p, max_live=2048, elem_paths=elem)
+    assert not bool(alt["overflow"])
+    assert int(base["n_pairs"]) == int(alt["n_pairs"])
+    assert int(alt["n_extra"]) <= int(base["n_extra"]) or elem < 2
+    np.testing.assert_array_equal(
+        _live_table_rows(base), _live_table_rows(alt)
+    )
