@@ -137,22 +137,26 @@ def _raster_kernel(
                 precision=jax.lax.Precision.HIGHEST,
             )  # (C, P)
         else:
-            # recentered operands are small (<= tile^2), so a 3-pass bf16
-            # split — (k_hi + k_lo) @ (f_hi + f_lo) dropping lo@lo — holds
-            # the exponent to ~1e-3 absolute at half the HIGHEST cost
+            # recentered operands are small (<= tile^2), so a bf16 hi/lo
+            # split holds the exponent to ~1e-3 absolute. All four cross
+            # products fold into ONE matmul by tiling the halves along the
+            # contraction dim — [k_hi;k_hi;k_lo;k_lo] @ [f_hi;f_lo;f_hi;
+            # f_lo] = hi@hi + hi@lo + lo@hi + lo@lo at K=32 — the MXU pads
+            # any K<128 to the full array, so this costs the same as one
+            # K=8 pass, replaces the old 3-matmul + 2-f32-add form (each
+            # (C,P) add pass is ~5 ms at 11k worklist entries), and keeps
+            # the lo@lo term for free.
             k_hi = ktab.astype(jnp.bfloat16)
             k_lo = (ktab - k_hi.astype(jnp.float32)).astype(jnp.bfloat16)
             f_hi = feats.astype(jnp.bfloat16)
             f_lo = (feats - f_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-
-            def bdot(x, y):
-                return jax.lax.dot_general(
-                    x, y, dimension_numbers=dn,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.DEFAULT,
-                )
-
-            expnt = bdot(k_hi, f_hi) + (bdot(k_hi, f_lo) + bdot(k_lo, f_hi))
+            expnt = jax.lax.dot_general(
+                jnp.concatenate([k_hi, k_hi, k_lo, k_lo], axis=0),
+                jnp.concatenate([f_hi, f_lo, f_hi, f_lo], axis=0),
+                dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
         # range mask folds into the per-splat exponent shift: masked lanes
         # get ln(alpha) = -inf so exp() zeroes them with no extra pass
         slot = e_chunk[g] * chunk + jax.lax.broadcasted_iota(
