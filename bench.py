@@ -168,7 +168,7 @@ def main():
     # timed run (a single mid-run recompile would dominate the fly-through)
     fp.reset_path()
     fp.start_path()
-    for t in np.arange(0.0, 60.01, 2.5):
+    for t in np.arange(0.0, 60.01, 1.0):
         fp.handle_events(eng.camera, now_ms=float(t) * 1000.0)
         eng.frame(readback=False)
         time.sleep(0.02)
@@ -178,6 +178,19 @@ def main():
 
     t_warm = time.time()
     result = eng.run_benchmark(fp, readback=False)
+    # the timed run samples the path continuously, so a pose between the
+    # warmup's samples can still grow a bucket and recompile mid-run
+    # (XLA compiles are 40-200s on the dev harness — one poisons the whole
+    # 60 s window); every variant is compiled now, so a single rerun
+    # measures the steady state
+    timed_reruns = 0
+    while (
+        len(getattr(eng.renderer, "compile_events", [])) > n_compiles_warm
+        and timed_reruns < 2
+    ):
+        n_compiles_warm = len(eng.renderer.compile_events)
+        timed_reruns += 1
+        result = eng.run_benchmark(fp, readback=False)
     eng.shutdown()
 
     # dense row (VERDICT r2: 8192-splat lod-0 tiles, 5-LOD /4 chain):
@@ -225,6 +238,15 @@ def main():
         ),
         recompiles_in_run=len(getattr(eng.renderer, "compile_events", []))
         - n_compiles_warm,
+        timed_reruns=timed_reruns,
+        # session maxima of the adaptive-bucket demands (grow-only hints):
+        # a pathological pose shows up here as an outsized bucket
+        bucket_hints=dict(
+            n_extra=getattr(eng.renderer, "_pairs_hint", 0),
+            n_live=getattr(eng.renderer, "_live_hint", 0),
+            n_entries=getattr(eng.renderer, "_ne_hint", 0),
+            n_live_paths=list(getattr(eng.renderer, "_livep_hint", []) or []),
+        ),
     )
     if dense is not None:
         meta["dense"] = dense

@@ -200,25 +200,38 @@ def build_pair_table(sorted_key, dead, cx, cy, qa, qb, qc, z, r, g, b, a, *,
 
 def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
               exact: bool = True, max_entries: int | None = None,
-              max_live: int | None = None, elem_paths: int = 2):
+              max_live: int | None = None, elem_paths: int = 2,
+              live_buckets: tuple[int, ...] | None = None):
     """p: projection outputs (front-to-back order, S lanes). Static:
     image_wh (W,H), tile_wh (tw, th) pixels, max_pairs, chunk, exact,
     max_entries (worklist budget, see build_worklist), max_live (live-splat
-    compaction bucket; None or >= S disables compaction).
+    compaction bucket; None or >= S disables compaction), live_buckets
+    (per-path prefix budgets for paths 1..elem_paths-1, see below).
 
-    Multi-path expansion over a LIVE-COMPACTED stream:
+    Multi-path expansion over a COUNT-CLASSED LIVE-COMPACTED stream:
     - compaction: one payload-carrying sort moves the visible splats to a
-      contiguous [0, n_live) prefix (keys = stream slots, so live order is
-      preserved); all downstream domains shrink from S (the padded stream,
-      often ~70% culled) to max_live.
+      contiguous [0, n_live) prefix, ordered by DESCENDING tile-count
+      class (key = (elem_paths - min(count, elem_paths)) << slot_bits |
+      slot, so splats overlapping more tiles sort first and stream order
+      is preserved within each class); all downstream domains shrink from
+      S (the padded stream, often ~70% culled) to max_live.
     - paths k < elem_paths: a splat's first elem_paths overlapped tiles
       are emitted ELEMENTWISE at its own compacted slot — no expansion
-      machinery for ~the entire pair mass.
+      machinery for ~the entire pair mass. Thanks to the count ordering,
+      path j only reads the [0, #count>j) PREFIX, so its sort stripe is
+      live_buckets[j-1] lanes instead of a full max_live stripe (measured
+      at the 1080p bench: count>0/1/2/3 = 1.0/0.55/0.27/0.13 of n_live).
     - path k>=elem_paths: only the remaining extras of wider splats go
       through the scatter+cummax expansion and a small per-component
-      gather; max_pairs budgets ONLY these.
+      gather; max_pairs budgets ONLY these. Every extras contributor
+      (count > elem_paths) lives in the smallest prefix, so the cumsum /
+      scatter source domain shrinks to live_buckets[-1] as well.
 
-    The sort domain is elem_paths*max_live + max_pairs. Returns dict:
+    Per-tile pair ORDER is unchanged: the joint sort ranks by the original
+    stream slot (recovered from the compaction key), not the compacted
+    position, so front-to-back order within each tile is exact.
+
+    The sort domain is max_live + sum(live_buckets) + max_pairs. Returns dict:
       table — [16, dom] f32 rows k0..k5 (recentered to each pair's tile
         origin, build_pair_table), z, 0, r, g, b, a, 0x4. In the fast
         profile the payload carried through the sorts is quantized (bf16
@@ -226,7 +239,8 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
       entry_tf/entry_chunk/range_start/range_end [.] i32 (worklist)
       n_pairs i32 (true pair demand), n_extra i32 (k>=elem_paths demand — bucket
         max_pairs on THIS), n_live i32 (bucket max_live on THIS),
-      overflow bool
+      n_live_paths [elem_paths] i32 (#splats with count>j — bucket
+        live_buckets[j-1] on entries 1..), overflow bool
     """
     w_img, h_img = image_wh
     tw, th = tile_wh
@@ -279,20 +293,34 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
         )
         payload = [cx, cy, qab, qcz, rgba]
 
-    # ---- live compaction: visible splats to a contiguous prefix ----
-    n_live = jnp.sum(ok.astype(jnp.int32))
+    # ---- per-path live counts (pre-sort, elementwise) ----
+    count0 = jnp.where(ok, nx * ny, 0)
+    n_live_paths = jnp.stack(
+        [jnp.sum((count0 > j).astype(jnp.int32)) for j in range(elem_paths)]
+    )
+    n_live = n_live_paths[0]
+
+    # ---- live compaction: visible splats to a contiguous prefix, ordered
+    # by DESCENDING tile-count class (stream order kept within class) ----
     l_pad = s_n if max_live is None else max(min(max_live, s_n), chunk)
     l_pad = (l_pad // chunk) * chunk
-    if l_pad < s_n:
+    slot_bits = max(int(np.ceil(np.log2(max(s_n, 2)))), 1)
+    compacted = l_pad < s_n
+    if compacted:
         slot = jnp.arange(s_n, dtype=jnp.int32)
-        ckey = jnp.where(ok, slot, slot | jnp.int32(1 << 30))
+        # class 0 = count >= elem_paths, ..., elem_paths = dead: wider
+        # splats sort first so each elementwise path reads only a prefix
+        cls = jnp.where(
+            ok, elem_paths - jnp.minimum(count0, elem_paths), elem_paths
+        )
+        ckey = (cls << slot_bits) | slot
         if len(payload) <= 5:
             # fast profile: a SINGLE-key sort (~0.6 ns/lane on v5e vs ~3
             # ns/lane per extra payload array) + one 6-comp gather on the
             # SHRUNK l_pad prefix — ~2x cheaper than carrying the payload
             # rows through the full-stream sort
             skey = jax.lax.sort([ckey], num_keys=1, is_stable=False)[0]
-            src = skey[:l_pad] & ((1 << 30) - 1)
+            src = skey[:l_pad] & ((1 << slot_bits) - 1)
             g_tab0 = jnp.stack(
                 [bc(bbox_bits, jnp.float32)] + payload, axis=0
             )
@@ -305,60 +333,82 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
             csrt = jax.lax.sort(
                 [ckey, bbox_bits] + payload, num_keys=1, is_stable=False
             )
+            src = csrt[0][:l_pad] & ((1 << slot_bits) - 1)
             bbox_c = csrt[1][:l_pad]
             payload_c = [r[:l_pad] for r in csrt[2:]]
         live = jnp.arange(l_pad, dtype=jnp.int32) < n_live
         live_overflow = n_live > l_pad
+        # per-path prefix budgets (count-ordered: path j's lanes are
+        # exactly [0, n_live_paths[j])); without explicit buckets each
+        # stripe stays a full max_live
+        pref = [l_pad]
+        for j in range(1, elem_paths):
+            b = l_pad if live_buckets is None else live_buckets[j - 1]
+            b = max(min((b // chunk) * chunk, l_pad), chunk)
+            pref.append(b)
+            live_overflow = live_overflow | (n_live_paths[j] > b)
     else:
+        src = jnp.arange(s_n, dtype=jnp.int32)
         bbox_c = bbox_bits
         payload_c = payload
         live = ok
         live_overflow = jnp.bool_(False)
+        pref = [l_pad] * elem_paths
 
     x0c = bbox_c & 0xFF
     y0c = (bbox_c >> 8) & 0xFF
     nxc = ((bbox_c >> 16) & 0xFF) + 1
     countc = jnp.where(live, nxc * (((bbox_c >> 24) & 0xFF) + 1), 0)
-    rank = jnp.arange(l_pad, dtype=jnp.int32)
 
-    # ---- sort key packing: (tile, live-rank), u32 order via sign flip ----
-    rank_bits = max(int(np.ceil(np.log2(max(l_pad, 2)))), 1)
+    # ---- sort key packing: (tile, stream slot), u32 order via sign flip
+    # (the slot, not the compacted position, ranks pairs within a tile:
+    # the count-classed compaction reorders lanes across classes) ----
+    rank_bits = slot_bits
     tile_bits = max(int(np.ceil(np.log2(n_tiles + 1))), 1)
     packed_key = rank_bits + tile_bits <= 32
 
     # ---- paths k < elem_paths: first tiles, elementwise at own slot ----
     # enumeration k -> (x0 + k%nx, y0 + k//nx): k=0 is (x0, y0); k=1 is
-    # (x0+1, y0) when nx >= 2 else (x0, y0+1); etc. Each path is a full
-    # l_pad sort stripe, but it removes a whole rank of the k>=elem_paths
-    # scatter+gather expansion (measured at 1080p: elem 4 cuts the extras
-    # demand ~4x, 0.90M -> 0.22M pairs).
+    # (x0+1, y0) when nx >= 2 else (x0, y0+1); etc. Path j reads only its
+    # pref[j] prefix (a full l_pad stripe when uncompacted). Each path
+    # removes a whole rank of the k>=elem_paths scatter+gather expansion
+    # (measured at 1080p: elem 4 cuts extras demand ~4x, 0.90M -> 0.22M).
     elem_tiles = []
     for j in range(elem_paths):
-        tj = (y0c + j // nxc) * ntx + (x0c + j % nxc)
+        b = pref[j]
+        tj = (y0c[:b] + j // nxc[:b]) * ntx + (x0c[:b] + j % nxc[:b])
         elem_tiles.append(
-            jnp.where(live & (countc >= j + 1), tj, n_tiles)
+            jnp.where(live[:b] & (countc[:b] >= j + 1), tj, n_tiles)
         )
 
     # ---- path k>=elem_paths: remaining extras via scatter+cummax ----
-    cnt2 = jnp.maximum(countc - elem_paths, 0)
+    # every contributor (count > elem_paths) is in the smallest prefix
+    # when compacted, so the whole expansion runs on E lanes, not l_pad
+    e_dom = pref[-1] if compacted else l_pad
+    cnt2 = jnp.maximum(countc[:e_dom] - elem_paths, 0)
     offs2_incl = jnp.cumsum(cnt2, dtype=jnp.int32)
     offs2 = offs2_incl - cnt2
     total2 = offs2_incl[-1]
     overflow = (total2 > m2) | live_overflow
-    # dead lanes get DISTINCT out-of-bounds indices (m2 + rank) so the
+    rank_e = jnp.arange(e_dom, dtype=jnp.int32)
+    # dead lanes get DISTINCT out-of-bounds indices (m2 + lane) so the
     # scatter can be a plain unique-indices set (no combiner) — measurably
     # faster than scatter-max on TPU
-    scatter_to = jnp.where((cnt2 > 0) & (offs2 < m2), offs2, m2 + rank)
+    scatter_to = jnp.where((cnt2 > 0) & (offs2 < m2), offs2, m2 + rank_e)
     mark = jnp.full(m2, -1, jnp.int32).at[scatter_to].set(
-        rank, mode="drop", unique_indices=True
+        rank_e, mode="drop", unique_indices=True
     )
     sp2 = jnp.maximum(jax.lax.cummax(mark), 0)
-    # one (1+R)-component gather resolves everything the extras path needs: the
-    # owner's first-pair offset is NOT gathered — it equals the slot where
-    # sp2 last changed, recovered by a cummax over the change marks
-    g_tab = jnp.stack([bc(bbox_c, jnp.float32)] + payload_c, axis=0)
+    # one (2+R)-component gather resolves everything the extras path
+    # needs — incl. the owner's stream slot (src) for the joint-sort rank;
+    # the owner's first-pair offset is NOT gathered — it equals the slot
+    # where sp2 last changed, recovered by a cummax over the change marks
+    g_tab = jnp.stack(
+        [bc(bbox_c, jnp.float32), bc(src, jnp.float32)] + payload_c, axis=0
+    )
     g_rows = g_tab[:, sp2]
     bb2 = bc(g_rows[0], jnp.int32)
+    src2 = bc(g_rows[1], jnp.int32)
     pair_i2 = jnp.arange(m2, dtype=jnp.int32)
     run_start = jax.lax.cummax(jnp.where(mark >= 0, pair_i2, -1))
     live2 = pair_i2 < jnp.minimum(total2, m2)
@@ -370,11 +420,15 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
     tile2 = jnp.where(live2, ty2 * ntx + tx2, n_tiles)
 
     # ---- joint sort carrying payload (no post-sort gather) ----
-    n_dom = elem_paths * l_pad + m2
+    n_dom = sum(pref) + m2
     tiles_all = jnp.concatenate(elem_tiles + [tile2])
-    ranks_all = jnp.concatenate([rank] * elem_paths + [sp2])
+    ranks_all = jnp.concatenate(
+        [src[:b] for b in pref] + [src2]
+    )
     rows_all = [
-        jnp.concatenate([payload_c[i]] * elem_paths + [g_rows[1 + i]])
+        jnp.concatenate(
+            [payload_c[i][:b] for b in pref] + [g_rows[2 + i]]
+        )
         for i in range(len(payload_c))
     ]
     if packed_key:
@@ -434,6 +488,7 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
         n_pairs=jnp.sum(countc),
         n_extra=total2,
         n_live=n_live,
+        n_live_paths=n_live_paths,
         overflow=overflow | wl_overflow,
         grid_info=(ntx, nty),
     )

@@ -92,6 +92,14 @@ class RendererConfig:
     #   ~0.28/lane (the stream is mostly culled splats at typical cameras)
     pairs_factor: float = 0.11
     live_factor: float = 0.38
+    # per-path prefix budgets for the count-classed compaction
+    # (ops/binning.py): path j >= 1 only reads splats overlapping > j
+    # tiles, so its sort stripe buckets on #count>j instead of max_live.
+    # Seeds are fractions of the stream bucket (grow-only hints take over
+    # from the first frame's observed n_live_paths); measured on the 1080p
+    # bench path: count>1/2/3 = 0.26/0.113/0.106 of s_pad, which lands on
+    # the (1310720, 524288, 524288) rungs with the 1.35x headroom
+    live_path_factors: tuple = (0.36, 0.15, 0.15)
     # how many of a splat's overlapped tiles are emitted elementwise at its
     # own compacted slot before the scatter+cummax extras path takes over
     # (ops/binning.py). Each unit adds a max_live stripe to the joint sort
@@ -563,7 +571,7 @@ class Renderer:
                      hm4, skybox_tex, proxy_tex, hm_src=None, *,
                      surface_type, draw_mode, point_cloud, use_skybox,
                      use_proxy, proxy_opts, max_pairs=None,
-                     max_entries=None, max_live=None):
+                     max_entries=None, max_live=None, live_buckets=None):
         """Program A: projection + binning + background/proxy depth.
         Returns (binned, bg, depth_tiles, aux). Split from the raster so
         adaptive-bucket flips recompile less and the XLA cache is shared at
@@ -595,6 +603,7 @@ class Renderer:
                 p, image_wh=image_wh, tile_wh=tile_wh, max_pairs=max_pairs,
                 chunk=c.chunk, exact=c.exact, max_entries=max_entries,
                 max_live=max_live, elem_paths=c.elem_paths,
+                live_buckets=live_buckets,
             )
             binned.pop("grid_info")
 
@@ -623,6 +632,7 @@ class Renderer:
             aux = dict(n_pairs=binned["n_pairs"], n_extra=binned["n_extra"],
                        n_entries=binned["n_entries"],
                        n_live=binned["n_live"],
+                       n_live_paths=binned["n_live_paths"],
                        overflow=binned["overflow"])
             if use_proxy:
                 aux["overflow"] = aux["overflow"] | paux["proxy_overflow"]
@@ -659,9 +669,10 @@ class Renderer:
             self.compile_events.append((_time.time(), key[:4]))
             print(f"[gswt] compiling frame variant s_pad={key[0]} "
                   f"max_pairs={key[1]} max_entries={key[2]} "
-                  f"max_live={key[3]}", file=sys.stderr)
+                  f"max_live={key[3]} live_paths={key[10]}", file=sys.stderr)
             (s_pad, max_pairs, max_entries, max_live, surface_type,
-             draw_mode, point_cloud, use_skybox, use_proxy, proxy_opts) = key
+             draw_mode, point_cloud, use_skybox, use_proxy, proxy_opts,
+             live_buckets) = key
             fn = functools.partial(
                 self._frame_front,
                 surface_type=surface_type,
@@ -673,6 +684,7 @@ class Renderer:
                 max_pairs=max_pairs,
                 max_entries=max_entries,
                 max_live=max_live,
+                live_buckets=live_buckets,
             )
             self._frame_jit[key] = jax.jit(fn)
         return self._frame_jit[key]
@@ -735,6 +747,26 @@ class Renderer:
             want = max(want, int(hint * 1.35))
         want = max(want, c.chunk)
         return min(_next_pow2(want, c.chunk, 1 << 24), s_pad)
+
+    def _live_path_buckets(self, s_pad: int, max_live: int) -> tuple:
+        """Per-path prefix budgets (ops/binning.py live_buckets): path j
+        of the count-classed compaction reads only the splats overlapping
+        more than j tiles, bucketed on the observed n_live_paths[j] with
+        headroom (grow-only session floor, see _pairs_bucket)."""
+        c = self.cfg
+        hints = getattr(self, "_livep_hint", None)
+        out = []
+        for j in range(1, c.elem_paths):
+            if j - 1 < len(c.live_path_factors):
+                f = c.live_path_factors[j - 1]
+            else:
+                f = c.live_factor * (0.5 ** j)
+            want = int(s_pad * f)
+            if hints is not None and j < len(hints):
+                want = max(want, int(hints[j] * 1.35))
+            want = max(want, c.chunk)
+            out.append(min(_next_pow2(want, c.chunk, 1 << 24), max_live))
+        return tuple(out)
 
     def _ne_bucket(self, s_pad: int, max_pairs: int, max_live: int) -> int:
         """Adaptive worklist-entry budget: every Pallas grid step costs
@@ -912,6 +944,7 @@ class Renderer:
                 bool(use_skybox and self.skybox_tex is not None),
                 bool(use_proxy and self.proxy_tex is not None),
                 proxy_opts,
+                self._live_path_buckets(staged["s_pad"], ml),
             )
             fn = self._get_jit(key)
             fn_back = self._get_jit_back(bool(key[8]))
@@ -968,6 +1001,12 @@ class Renderer:
         self._live_hint = max(
             int(a["n_live"]), getattr(self, "_live_hint", 1) or 1
         )
+        if "n_live_paths" in a:
+            lp = [int(x) for x in np.asarray(a["n_live_paths"])]
+            prev = getattr(self, "_livep_hint", None)
+            if prev is not None and len(prev) == len(lp):
+                lp = [max(x, y) for x, y in zip(lp, prev)]
+            self._livep_hint = lp
         if "proxy_pairs" in a:
             self._proxy_hint = max(
                 int(a["proxy_pairs"]), getattr(self, "_proxy_hint", 1) or 1

@@ -148,3 +148,29 @@ def test_elem_paths_split_is_invisible(elem):
     np.testing.assert_array_equal(
         _live_table_rows(base), _live_table_rows(alt)
     )
+
+
+@pytest.mark.parametrize("elem", [2, 4])
+def test_live_path_buckets_invisible_and_flagged(elem):
+    """Count-classed per-path prefix budgets (bin_pairs live_buckets):
+    budgets >= the per-path demand must be invisible to the output; a
+    budget below demand must flag overflow and still report the true
+    n_live_paths demand."""
+    p = _proj(4096, seed=11)
+    base = _run(p, max_live=2048, elem_paths=elem)
+    lp = np.asarray(base["n_live_paths"])
+    assert lp[0] == int(base["n_live"])
+    assert all(lp[j] >= lp[j + 1] for j in range(len(lp) - 1))
+    # generous buckets: identical output
+    gen = tuple(int(-(-max(int(lp[j]), 1) // 128) * 128) for j in range(1, elem))
+    tight = _run(p, max_live=2048, elem_paths=elem, live_buckets=gen)
+    assert not bool(tight["overflow"])
+    np.testing.assert_array_equal(
+        _live_table_rows(base), _live_table_rows(tight)
+    )
+    # a path bucket below demand must flag (path 1 demand > 128 here)
+    assert int(lp[1]) > 128
+    under = _run(p, max_live=2048, elem_paths=elem,
+                 live_buckets=(128,) * (elem - 1))
+    assert bool(under["overflow"])
+    np.testing.assert_array_equal(np.asarray(under["n_live_paths"]), lp)
