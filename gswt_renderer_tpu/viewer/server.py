@@ -48,6 +48,7 @@ img { display:block; margin:auto; }
     <button onclick="fly('play')">play</button>
     <button onclick="fly('pause')">pause</button>
     <button onclick="fly('clear')">clear</button>
+    <button onclick="bench()">benchmark</button>
   </div>
   <div id="kf"></div>
   <div>camera (editable JSON):</div>
@@ -77,6 +78,15 @@ async function fly(action) {
   const fp = await r.json();
   document.getElementById('kf').innerText =
     `keyframes: ${fp.n} ${fp.playing ? '(playing)' : ''}`;
+}
+async function bench() {
+  document.getElementById('kf').innerText = 'benchmark running...';
+  const r = await fetch('/bench', {method:'POST', body:'{}'});
+  const b = await r.json();
+  document.getElementById('kf').innerText = b.error ? b.error :
+    `bench: ${b.frames} frames, ${b.fps.toFixed(2)} fps, ` +
+    `median ${b.median_frame_ms.toFixed(1)} ms`;
+  if (b.dump) console.log(b.dump);
 }
 async function getCam() {
   const r = await fetch('/camera');
@@ -112,7 +122,10 @@ def serve(engine, host="0.0.0.0", port=8080, scale: int = 2,
     import jax
 
     stop = stop_event or threading.Event()
-    state = {"jpg": b"", "lock": threading.Lock()}
+    state = {"jpg": b"", "lock": threading.Lock(),
+             # serializes engine.frame ownership between the render loop
+             # and the /bench handler
+             "rlock": threading.Lock()}
 
     def render_loop():
         while not stop.is_set():
@@ -128,7 +141,13 @@ def serve(engine, host="0.0.0.0", port=8080, scale: int = 2,
     grab = {"next": 0.0, "stamps": []}
 
     def _render_tick():
-        img = engine.frame(readback=False)
+        if state.get("benching"):
+            # the benchmark endpoint owns the frame loop while it replays
+            # the fly path (gui.rs:955-997)
+            time.sleep(0.05)
+            return
+        with state["rlock"]:
+            img = engine.frame(readback=False)
         if img is None:
             time.sleep(0.01)
             return
@@ -312,6 +331,26 @@ def serve(engine, host="0.0.0.0", port=8080, scale: int = 2,
                         setattr(engine.render_config, k, v)
                 self.send_response(204)
                 self.end_headers()
+            elif self.path.startswith("/bench"):
+                # benchmark-start button (gui.rs:955-997): replay the
+                # recorded fly path with the interactive loop paused and
+                # answer the timing summary + the LaTeX-style dump
+                if len(engine.fly_path.keyframes) < 2:
+                    self._json(dict(error="need >= 2 keyframes"), code=400)
+                    return
+                state["benching"] = True
+                try:
+                    with state["rlock"]:
+                        res = engine.run_benchmark(engine.fly_path,
+                                                   readback=False)
+                finally:
+                    state["benching"] = False
+                self._json(dict(
+                    frames=res["frames"],
+                    fps=res["fps"],
+                    median_frame_ms=res["median_frame_ms"],
+                    dump=engine.format_benchmark(res),
+                ))
             elif self.path.startswith("/quit"):
                 stop.set()
                 self.send_response(204)

@@ -6,6 +6,7 @@ record/play/remove/clear, camera get/set, live /config, /hud counters
 import json
 import threading
 import time
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -176,6 +177,27 @@ def test_malformed_post_is_400(viewer):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(req, timeout=10)
     assert ei.value.code == 400
+
+
+def test_bench_button(viewer):
+    """/bench (the reference's benchmark-start button, gui.rs:955-997):
+    replays the recorded fly path and answers the timing summary."""
+    eng, port, _, _ = viewer
+    _post(port, "/flypath", {"action": "clear"})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(port, "/bench", {})  # needs >= 2 keyframes
+    assert ei.value.code == 400
+    _post(port, "/flypath", {"action": "record"})
+    _post(port, "/flypath", {"action": "record", "interval": 0.5})
+    code, b = _post(port, "/bench", {})
+    assert code == 200
+    res = json.loads(b)
+    assert res["frames"] >= 1
+    assert res["median_frame_ms"] > 0
+    assert "Render & Sort & Update" in res["dump"]
+    # the interactive loop resumes afterwards
+    assert eng.camera_control == "keyboard"
+    _post(port, "/flypath", {"action": "clear"})
 
 
 def test_quit_shuts_down(viewer):
