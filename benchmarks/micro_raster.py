@@ -241,9 +241,13 @@ def make_binned(max_pairs, image_wh, tile_wh, chunk, seed=0):
     z = rng.uniform(0.01, 0.99, max_pairs)
     col = rng.uniform(0, 1, (4, max_pairs))
     col[3] = np.where(dead, 0.0, col[3] * 0.8)
+    # row 11 is ln(alpha) (the kernel folds the alpha multiply into the
+    # exponent add) — raw alpha here would push the exponent positive and
+    # g above 1, a state the real pipeline can never produce
+    ln_a = np.log(np.maximum(col[3], 1e-30))
     table = np.zeros((16, max_pairs), np.float32)
     for i, v in enumerate([k0, k1, k2, k3, k4, k5, z, np.zeros(max_pairs),
-                           col[0], col[1], col[2], col[3]]):
+                           col[0], col[1], col[2], ln_a]):
         table[i] = v
 
     from gswt_renderer_tpu.ops.binning import build_worklist
