@@ -1,10 +1,10 @@
 #!/usr/bin/env python
-"""A/B the fast-profile raster scan (GSWT_RASTER_LOGSCAN=0/1) on realistic
+"""A/B raster scan implementations (GSWT_SCAN_IMPL=concat|roll) on realistic
 synthetic binned input (micro_raster.make_binned). Run each arm in its own
 process (the toggle is read at import):
 
-    GSWT_RASTER_LOGSCAN=0 python benchmarks/micro_scan_ab.py
-    GSWT_RASTER_LOGSCAN=1 python benchmarks/micro_scan_ab.py
+    GSWT_SCAN_IMPL=concat python benchmarks/micro_scan_ab.py
+    GSWT_SCAN_IMPL=roll   python benchmarks/micro_scan_ab.py
 """
 
 import os
@@ -34,7 +34,7 @@ def main():
     binned = make_binned(1 << 22, image_wh, tile_wh, chunk)
     depth = jnp.ones((ntx * nty, th * tw), jnp.float32)
     ne = int(binned["entry_tf"].shape[0])
-    print(f"logscan={raster._LOGSCAN} chunk={chunk} worklist entries={ne}")
+    print(f"scan_impl={raster._SCAN_IMPL} chunk={chunk} worklist entries={ne}")
 
     def render(b, d, exact):
         return raster.rasterize_pallas(
@@ -55,7 +55,7 @@ def main():
         t_exact = run(True)
         print(f"exact  (blocked scan, HIGHEST): {t_exact:7.1f} ms")
     t_fast = run(False)
-    print(f"fast   (logscan={raster._LOGSCAN}):          {t_fast:7.1f} ms")
+    print(f"fast   (scan_impl={raster._SCAN_IMPL}):     {t_fast:7.1f} ms")
     if os.environ.get("GSWT_AB_FAST_ONLY", "0") == "1":
         return
 

@@ -123,6 +123,9 @@ def build_worklist(sorted_key, *, n_tiles, max_pairs: int, chunk: int,
     ne_max = max_pairs // chunk + n_tiles
     if max_entries is not None:
         ne_max = min(ne_max, max_entries)
+    # blocked raster kernels consume a multiple-of-`step` entry count
+    # (raster.py _raster_kernel_blocked); align up to 8 to cover all steps
+    ne_max = -(-ne_max // 8) * 8
 
     ei = jnp.arange(ne_max, dtype=jnp.int32)
     t_of_e = jnp.searchsorted(e_offs, ei, side="right").astype(jnp.int32) - 1
@@ -130,7 +133,13 @@ def build_worklist(sorted_key, *, n_tiles, max_pairs: int, chunk: int,
     live = ei < total_entries
     rank = ei - e_offs[t_of_e]
     entry_tile = jnp.where(live, t_of_e, n_tiles - 1).astype(jnp.int32)
-    entry_chunk = jnp.where(live, c0[t_of_e] + rank, 0).astype(jnp.int32)
+    # dead-tail entries repeat the LAST live chunk so entry_chunk stays
+    # monotone (+0/+1 steps) end to end — the blocked kernel derives its
+    # per-step table superblock from entry_chunk[step * g] and bounds
+    # within-step offsets by that monotonicity
+    ec_live = (c0[t_of_e] + rank).astype(jnp.int32)
+    ec_last = jnp.max(jnp.where(live, ec_live, 0))
+    entry_chunk = jnp.where(live, ec_live, ec_last)
     entry_first = live & (rank == 0)
     # the FINAL in-budget entry is always flagged `last` too: when the
     # budget truncates a tile mid-run, that tile still flushes its partial
@@ -138,13 +147,14 @@ def build_worklist(sorted_key, *, n_tiles, max_pairs: int, chunk: int,
     entry_last = live & (
         (rank == n_entries_tile[t_of_e] - 1) | (ei == ne_max - 1)
     )
-    # pack (tile | first | last) into one i32 prefetch array: SMEM holds at
-    # most ~1 MB of scalar-prefetch data, so the worklist is 2 per-entry
-    # arrays + 2 per-tile range arrays
+    # pack (tile | first | last | alive) into one i32 prefetch array: SMEM
+    # holds at most ~1 MB of scalar-prefetch data, so the worklist is 2
+    # per-entry arrays + 2 per-tile range arrays
     entry_tf = (
         entry_tile
         | (entry_first.astype(jnp.int32) << 24)
         | (entry_last.astype(jnp.int32) << 25)
+        | (live.astype(jnp.int32) << 26)
     )
     # dead entries: mask everything via empty range (start == end == 0)
     r_start = jnp.where(length > 0, range_start, 0).astype(jnp.int32)

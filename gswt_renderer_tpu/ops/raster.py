@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +42,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 CUTOFF = -4.0  # fragment discard threshold (gswt.wgsl:427-430)
 MIN_T = 0.5 / 255.0  # early-exit transmittance (below ROP quantization)
+# scan implementation A/B toggle (benchmarks/micro_scan_ab.py):
+#   concat — Hillis-Steele passes shift via materializing jnp.concatenate
+#   roll   — pltpu.roll sublane rotations + iota masks; the carry seed and
+#            the exclusive shift fold into rolls / the tiny group level
+_SCAN_IMPL = os.environ.get("GSWT_SCAN_IMPL", "roll")
 
 
 def _pixel_features(tw, th):
@@ -94,6 +100,219 @@ def _cumprod_inclusive(x, group: int = 32):
     return (y * excl[:, None, :]).reshape(c, p)
 
 
+def _scan_weights_concat(gmat, t_carry):
+    """(t_incl, t_excl) of the carry-seeded transmittance scan, concat
+    form: seed and exclusive shift are materializing concatenates."""
+    t = 1.0 - gmat
+    t = jnp.concatenate([t[0:1, :] * t_carry, t[1:, :]], axis=0)
+    t_incl = _cumprod_inclusive(t)
+    t_excl = jnp.concatenate([t_carry, t_incl[:-1, :]], axis=0)
+    return t_incl, t_excl
+
+
+def _scan_weights_roll(gmat, t_carry, group: int = 32):
+    """Same contract as _scan_weights_concat, but every full-size shift is
+    a pltpu.roll sublane rotation + iota mask (no materializing concat),
+    and the carry seed folds into the TINY (ng, P) group-totals level
+    instead of a full-size pass."""
+    c, p = gmat.shape
+    t = 1.0 - gmat
+    if c % group or c <= group:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (c, p), 0)
+        shift = 1
+        while shift < c:
+            r = pltpu.roll(t, shift, axis=0)
+            t = t * jnp.where(rows >= shift, r, 1.0)
+            shift *= 2
+        t_incl = t * t_carry  # seed: T_i = carry * prod_{j<=i} t_j
+        t_excl = pltpu.roll(t_incl, 1, axis=0)
+        t_excl = jnp.where(rows == 0, t_carry, t_excl)
+        return t_incl, t_excl
+    ng = c // group
+    rows = jax.lax.broadcasted_iota(jnp.int32, (c, p), 0)
+    rg = rows & (group - 1)
+    shift = 1
+    while shift < group:
+        r = pltpu.roll(t, shift, axis=0)
+        t = t * jnp.where(rg >= shift, r, 1.0)
+        shift *= 2
+    y = t.reshape(ng, group, p)
+    # inclusive per-group totals (ng, p), then the carry-seeded exclusive
+    # group prefix — all at 1/group size
+    gp = jax.lax.slice(y, (0, group - 1, 0), (ng, group, p)).reshape(ng, p)
+    shift = 1
+    while shift < ng:
+        pad = jnp.ones((shift, p), gp.dtype)
+        gp = gp * jnp.concatenate([pad, gp[:-shift]], axis=0)
+        shift *= 2
+    excl_g = jnp.concatenate([t_carry, gp[:-1] * t_carry], axis=0)
+    t_incl = (y * excl_g[:, None, :]).reshape(c, p)
+    t_excl = pltpu.roll(t_incl, 1, axis=0)
+    t_excl = jnp.where(rows == 0, t_carry, t_excl)
+    return t_incl, t_excl
+
+
+def _scan_weights_fold(gmat, t_carry, group: int = 32):
+    """Returns (weight, t_next) directly, skipping BOTH materializing
+    shifts of the concat form: the carry seed folds into the tiny (ng, P)
+    group level, and t_excl is recovered as t_incl / t (division by the
+    SAME factor that produced t_incl — no cancellation; t clamped at
+    2^-10 for the alpha == 1.0 edge, which only perturbs weights behind a
+    fully opaque fragment, below the fast profile's ROP budget)."""
+    c, p = gmat.shape
+    t = jnp.maximum(1.0 - gmat, jnp.float32(1.0 / 1024.0))
+    if c % group or c <= group:
+        y = t
+        shift = 1
+        while shift < c:
+            pad = jnp.ones((shift, p), y.dtype)
+            y = y * jnp.concatenate([pad, y[:-shift]], axis=0)
+            shift *= 2
+        t_incl = y * t_carry
+        weight = gmat * t_incl / t
+        return weight, t_incl[-1:, :]
+    ng = c // group
+    y = t.reshape(ng, group, p)
+    shift = 1
+    while shift < group:
+        pad = jnp.ones((ng, shift, p), y.dtype)
+        y = y * jnp.concatenate([pad, y[:, :-shift]], axis=1)
+        shift *= 2
+    gp = jax.lax.slice(y, (0, group - 1, 0), (ng, group, p)).reshape(ng, p)
+    shift = 1
+    while shift < ng:
+        pad = jnp.ones((shift, p), gp.dtype)
+        gp = gp * jnp.concatenate([pad, gp[:-shift]], axis=0)
+        shift *= 2
+    excl_g = jnp.concatenate([t_carry, gp[:-1] * t_carry], axis=0)
+    t_incl = (y * excl_g[:, None, :]).reshape(c, p)
+    weight = gmat * t_incl / t
+    return weight, jax.lax.slice(t_incl, (c - 1, 0), (c, p))
+
+
+def _scan_weights_diff(gmat, t_carry, group: int = 32):
+    """(weight, t_next) via the difference identity: weight_i =
+    g_i * T_excl,i = T_excl,i - T_incl,i exactly (T_incl = T_excl * (1 -
+    g)). Saves the seed concat (carry folds into the tiny group level)
+    and replaces the weight multiply with the subtract — one fewer
+    full-size pass than the concat form, no division."""
+    c, p = gmat.shape
+    t = 1.0 - gmat
+    if c % group or c <= group:
+        y = t
+        shift = 1
+        while shift < c:
+            pad = jnp.ones((shift, p), y.dtype)
+            y = y * jnp.concatenate([pad, y[:-shift]], axis=0)
+            shift *= 2
+        t_incl = y * t_carry
+    else:
+        ng = c // group
+        y = t.reshape(ng, group, p)
+        shift = 1
+        while shift < group:
+            pad = jnp.ones((ng, shift, p), y.dtype)
+            y = y * jnp.concatenate([pad, y[:, :-shift]], axis=1)
+            shift *= 2
+        gp = jax.lax.slice(y, (0, group - 1, 0), (ng, group, p)).reshape(ng, p)
+        shift = 1
+        while shift < ng:
+            pad = jnp.ones((shift, p), gp.dtype)
+            gp = gp * jnp.concatenate([pad, gp[:-shift]], axis=0)
+            shift *= 2
+        excl_g = jnp.concatenate([t_carry, gp[:-1] * t_carry], axis=0)
+        t_incl = (y * excl_g[:, None, :]).reshape(c, p)
+    t_excl = jnp.concatenate([t_carry, t_incl[:-1, :]], axis=0)
+    return t_excl - t_incl, jax.lax.slice(t_incl, (c - 1, 0), (c, p))
+
+
+def _scan_weights(gmat, t_carry):
+    """(weight, t_next) for the carry-seeded transmittance compositor."""
+    if _SCAN_IMPL == "roll":
+        t_incl, t_excl = _scan_weights_roll(gmat, t_carry)
+    elif _SCAN_IMPL == "fold":
+        return _scan_weights_fold(gmat, t_carry)
+    elif _SCAN_IMPL == "diff":
+        return _scan_weights_diff(gmat, t_carry)
+    else:
+        t_incl, t_excl = _scan_weights_concat(gmat, t_carry)
+    return gmat * t_excl, t_incl[-1:, :]
+
+
+def _entry_body(table, depth_row, tile, ec, t_carry, r_start, r_end,
+                *, tw, th, chunk, exact, use_depth):
+    """One (tile, chunk) worklist entry: exponent matmul, masks, scan,
+    color matmul. Returns (contrib (4,P), t_next (1,P)). Shared by the
+    per-entry and the blocked (S entries/grid-step) kernels."""
+    ktab = table[0:8]
+    rgb1 = jnp.concatenate(
+        [table[8:11], jnp.ones((1, chunk), jnp.float32)], axis=0
+    )
+    z = table[6, :][:, None]  # (C,1)
+    ln_alpha = table[11, :][:, None]  # (C,1)
+    feats = _pixel_features(tw, th)  # (8, P) tile-local monomials
+    dn = (((0,), (0,)), ((), ()))
+    if exact:
+        expnt = jax.lax.dot_general(
+            ktab, feats, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (C, P)
+    else:
+        # recentered operands are small (<= tile^2), so a bf16 hi/lo
+        # split holds the exponent to ~1e-3 absolute. All four cross
+        # products fold into ONE matmul by tiling the halves along the
+        # contraction dim — [k_hi;k_hi;k_lo;k_lo] @ [f_hi;f_lo;f_hi;
+        # f_lo] = hi@hi + hi@lo + lo@hi + lo@lo at K=32 — the MXU pads
+        # any K<128 to the full array, so this costs the same as one
+        # K=8 pass, replaces the old 3-matmul + 2-f32-add form (each
+        # (C,P) add pass is ~5 ms at 11k worklist entries), and keeps
+        # the lo@lo term for free.
+        k_hi = ktab.astype(jnp.bfloat16)
+        k_lo = (ktab - k_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        f_hi = feats.astype(jnp.bfloat16)
+        f_lo = (feats - f_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        expnt = jax.lax.dot_general(
+            jnp.concatenate([k_hi, k_hi, k_lo, k_lo], axis=0),
+            jnp.concatenate([f_hi, f_lo, f_hi, f_lo], axis=0),
+            dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+    # range mask folds into the per-splat exponent shift: masked lanes
+    # get ln(alpha) = -inf so exp() zeroes them with no extra pass
+    slot = ec * chunk + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+    in_run = (slot >= r_start[tile]) & (slot < r_end[tile])
+    ln_eff = jnp.where(in_run, ln_alpha, -jnp.inf)  # (C,1)
+    shifted = expnt + ln_eff
+    # the exp(-4) discard (gswt.wgsl:427-430) tests the raw quadratic
+    mask = expnt >= CUTOFF
+    if use_depth:
+        mask = mask & (z < depth_row)
+    gmat = jnp.where(mask, jnp.exp(shifted), 0.0)
+    # carry-seeded transmittance scan -> per-fragment compositing
+    # weights g_i * T_excl,i and the next chunk's carry T_incl[-1]
+    # (impl selected by GSWT_SCAN_IMPL, see _scan_weights)
+    weight, t_next = _scan_weights(gmat, t_carry)  # (C,P), (1,P)
+    if exact:
+        contrib = jax.lax.dot_general(
+            rgb1, weight,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    else:
+        # weights/colors are in [0,1] and the ROP itself quantizes to
+        # 8 bits; one bf16 pass is under that budget (PARITY.md #8)
+        contrib = jax.lax.dot_general(
+            rgb1.astype(jnp.bfloat16), weight.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+    return contrib, t_next
+
+
 def _raster_kernel(
     # scalar prefetch
     e_tf, e_chunk, r_start, r_end,
@@ -121,81 +340,12 @@ def _raster_kernel(
     # skip saturated tiles (early exit) and dead worklist entries
     @pl.when((jnp.max(t_carry) >= MIN_T) & (r_start[tile] < r_end[tile]))
     def _():
-        table = table_ref[:]  # (16, C): k0..k5, z, 0, r, g, b, ln(a)
-        ktab = table[0:8]
-        rgb1 = jnp.concatenate(
-            [table[8:11], jnp.ones((1, chunk), jnp.float32)], axis=0
-        )
-        z = table[6, :][:, None]  # (C,1)
-        ln_alpha = table[11, :][:, None]  # (C,1)
-        feats = _pixel_features(tw, th)  # (8, P) tile-local monomials
-        dn = (((0,), (0,)), ((), ()))
-        if exact:
-            expnt = jax.lax.dot_general(
-                ktab, feats, dimension_numbers=dn,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # (C, P)
-        else:
-            # recentered operands are small (<= tile^2), so a bf16 hi/lo
-            # split holds the exponent to ~1e-3 absolute. All four cross
-            # products fold into ONE matmul by tiling the halves along the
-            # contraction dim — [k_hi;k_hi;k_lo;k_lo] @ [f_hi;f_lo;f_hi;
-            # f_lo] = hi@hi + hi@lo + lo@hi + lo@lo at K=32 — the MXU pads
-            # any K<128 to the full array, so this costs the same as one
-            # K=8 pass, replaces the old 3-matmul + 2-f32-add form (each
-            # (C,P) add pass is ~5 ms at 11k worklist entries), and keeps
-            # the lo@lo term for free.
-            k_hi = ktab.astype(jnp.bfloat16)
-            k_lo = (ktab - k_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            f_hi = feats.astype(jnp.bfloat16)
-            f_lo = (feats - f_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            expnt = jax.lax.dot_general(
-                jnp.concatenate([k_hi, k_hi, k_lo, k_lo], axis=0),
-                jnp.concatenate([f_hi, f_lo, f_hi, f_lo], axis=0),
-                dimension_numbers=dn,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT,
-            )
-        # range mask folds into the per-splat exponent shift: masked lanes
-        # get ln(alpha) = -inf so exp() zeroes them with no extra pass
-        slot = e_chunk[g] * chunk + jax.lax.broadcasted_iota(
-            jnp.int32, (chunk, 1), 0
-        )
-        in_run = (slot >= r_start[tile]) & (slot < r_end[tile])
-        ln_eff = jnp.where(in_run, ln_alpha, -jnp.inf)  # (C,1)
-        shifted = expnt + ln_eff
-        # the exp(-4) discard (gswt.wgsl:427-430) tests the raw quadratic
-        mask = expnt >= CUTOFF
-        if use_depth:
-            depth = depth_ref[0]  # (1,P)
-            mask = mask & (z < depth)
-        gmat = jnp.where(mask, jnp.exp(shifted), 0.0)
-        t = 1.0 - gmat
-        # seed the scan with the carry: t_incl[i] then IS the full
-        # transmittance prefix and the weight needs a single multiply
-        t = jnp.concatenate([t[0:1, :] * t_carry, t[1:, :]], axis=0)
-        t_incl = _cumprod_inclusive(t)
-        t_excl = jnp.concatenate([t_carry, t_incl[:-1, :]], axis=0)
-        weight = gmat * t_excl  # (C,P)
-        if exact:
-            contrib = jax.lax.dot_general(
-                rgb1, weight,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-        else:
-            # weights/colors are in [0,1] and the ROP itself quantizes to
-            # 8 bits; one bf16 pass is under that budget (PARITY.md #8)
-            contrib = jax.lax.dot_general(
-                rgb1.astype(jnp.bfloat16), weight.astype(jnp.bfloat16),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT,
-            )
+        contrib, t_next = _entry_body(
+            table_ref[:], depth_ref[0] if use_depth else None, tile,
+            e_chunk[g], t_carry, r_start, r_end, tw=tw, th=th, chunk=chunk,
+            exact=exact, use_depth=use_depth)
         acc_ref[0:4, :] = acc_ref[0:4, :] + contrib
-        trans_ref[0:1, :] = t_incl[-1:, :]
+        trans_ref[0:1, :] = t_next
 
     # `last` is also set on the final in-budget entry (build_worklist), so
     # a tile whose trailing entries were truncated still flushes its
@@ -207,14 +357,88 @@ def _raster_kernel(
         out_ref[0, 0:4, :] = acc_ref[0:4, :].reshape(1, 4, p_n)[0]
 
 
+def _raster_kernel_blocked(
+    # scalar prefetch
+    e_tf, e_chunk, blk, r_start, r_end,
+    # inputs: two adjacent S-chunk table superblocks + HBM-resident
+    # depth tiles
+    ta_ref, tb_ref, depth_ref,
+    # output (HBM, flushed by explicit DMA)
+    out_ref,
+    # scratch
+    acc_ref, trans_ref, dscr_ref, sem_out, sem_d,
+    *, tw, th, chunk, step, exact, use_depth,
+):
+    """S worklist entries per grid step: Mosaic's fixed per-step cost
+    (~1.7 us measured — DMA bookkeeping + step dispatch) dominated the
+    per-entry kernel at ~11-17k entries/frame, so amortize it. Entry
+    chunks are monotone with +0/+1 increments (tile runs are contiguous
+    in the sorted table), so the S entries of a step always fit in TWO
+    adjacent S-chunk superblocks; each entry dynamic-slices its chunk
+    from the pair. Output tiles flush via explicit async copies (a
+    BlockSpec output could not flush multiple tiles per step); the proxy
+    depth row is DMAed per TILE (on `first`), not per entry."""
+    g = pl.program_id(0)
+    base = blk[g] * step
+
+    for j in range(step):
+        e = g * step + j
+        tf = e_tf[e]
+        tile = tf & 0xFFFFFF
+        first = ((tf >> 24) & 1) == 1
+        alive = ((tf >> 26) & 1) == 1
+
+        @pl.when(first)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+            trans_ref[:] = jnp.ones_like(trans_ref)
+            if use_depth:
+                cp = pltpu.make_async_copy(
+                    depth_ref.at[tile], dscr_ref, sem_d)
+                cp.start()
+                cp.wait()
+
+        t_carry = trans_ref[0:1, :]
+        lo = e_chunk[e] - base  # chunk offset within [0, 2*step)
+
+        @pl.when(alive & (jnp.max(t_carry) >= MIN_T)
+                 & (r_start[tile] < r_end[tile]))
+        def _():
+            in_a = lo < step
+            loa = jnp.where(in_a, lo, lo - step)
+            tbl_a = ta_ref[:, pl.ds(loa * chunk, chunk)]
+            tbl_b = tb_ref[:, pl.ds(loa * chunk, chunk)]
+            table = jnp.where(in_a, tbl_a, tbl_b)
+            contrib, t_next = _entry_body(
+                table, dscr_ref[0:1, :] if use_depth else None, tile,
+                e_chunk[e], t_carry, r_start, r_end, tw=tw, th=th,
+                chunk=chunk, exact=exact, use_depth=use_depth)
+            acc_ref[0:4, :] = acc_ref[0:4, :] + contrib
+            trans_ref[0:1, :] = t_next
+
+        last = ((tf >> 25) & 1) == 1
+
+        @pl.when(last)
+        def _():
+            cp = pltpu.make_async_copy(acc_ref, out_ref.at[tile], sem_out)
+            cp.start()
+            cp.wait()
+
+
 def rasterize_pallas(binned, depth_tiles, *, image_wh, tile_wh, chunk: int,
                      interpret: bool = False, exact: bool = True,
-                     use_depth: bool = True):
+                     use_depth: bool = True, step: int | None = None):
     """Run the Pallas tile rasterizer.
 
     binned: output of bin_pairs. depth_tiles: [T, th*tw] per-pixel depth
     (1.0 when no proxy). Returns rgb_acc [T, 4, P]: premultiplied color +
     alpha per tile block; reassemble with `tiles_to_image`.
+
+    step: worklist entries per grid step (default GSWT_RASTER_STEP or 4).
+    The blocked kernel needs the table domain to be a multiple of
+    step*chunk with >= 2 superblocks and an entry count that is a
+    multiple of step (build_worklist aligns to 8); anything else falls
+    back to the per-entry kernel.
     """
     depth_tiles = depth_tiles.reshape(depth_tiles.shape[0], 1, -1)
     w_img, h_img = image_wh
@@ -224,6 +448,15 @@ def rasterize_pallas(binned, depth_tiles, *, image_wh, tile_wh, chunk: int,
     n_tiles = ntx * nty
     p_n = th * tw
     ne = binned["entry_tf"].shape[0]
+    if step is None:
+        step = int(os.environ.get("GSWT_RASTER_STEP", "4"))
+    dom = binned["table"].shape[1]
+    n_chunks = dom // chunk
+    if (step > 1 and dom % (step * chunk) == 0 and n_chunks >= 2 * step
+            and ne % step == 0):
+        return _rasterize_blocked(
+            binned, depth_tiles, n_tiles=n_tiles, tw=tw, th=th, chunk=chunk,
+            step=step, exact=exact, use_depth=use_depth, interpret=interpret)
 
     kernel = functools.partial(_raster_kernel, tw=tw, th=th, ntx=ntx,
                                chunk=chunk, exact=exact, use_depth=use_depth)
@@ -267,6 +500,67 @@ def rasterize_pallas(binned, depth_tiles, *, image_wh, tile_wh, chunk: int,
         depth_tiles,
     )
     # tiles the worklist budget dropped entirely hold uninitialized HBM
+    touched = binned.get("tile_touched")
+    if touched is not None:
+        out = jnp.where(touched[:, None, None], out, 0.0)
+    return out
+
+
+def _rasterize_blocked(binned, depth_tiles, *, n_tiles, tw, th, chunk,
+                       step, exact, use_depth, interpret):
+    """Blocked-worklist pallas_call (see _raster_kernel_blocked)."""
+    p_n = th * tw
+    dom = binned["table"].shape[1]
+    nblk = dom // (step * chunk)
+    ec = binned["entry_chunk"]
+    ne = ec.shape[0]
+    # superblock base per step, clamped so block blk+1 stays in range;
+    # entries advance their chunk by 0/+1 and dead tails repeat the last
+    # live chunk (build_worklist), so offsets stay within [0, 2*step)
+    blk = jnp.clip(ec[::step] // step, 0, nblk - 2)
+    kernel = functools.partial(
+        _raster_kernel_blocked, tw=tw, th=th, chunk=chunk, step=step,
+        exact=exact, use_depth=use_depth)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(ne // step,),
+        in_specs=[
+            pl.BlockSpec(
+                (16, step * chunk),
+                lambda g, etf, ec, blk, rs, re: (0, blk[g]),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (16, step * chunk),
+                lambda g, etf, ec, blk, rs, re: (0, blk[g] + 1),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((4, p_n), jnp.float32),
+            pltpu.VMEM((1, p_n), jnp.float32),
+            pltpu.VMEM((1, p_n), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 4, p_n), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(
+        binned["entry_tf"],
+        ec,
+        blk,
+        binned["range_start"],
+        binned["range_end"],
+        binned["table"],
+        binned["table"],
+        depth_tiles,  # (T, 1, P); .at[tile] matches the (1, P) scratch
+    )
     touched = binned.get("tile_touched")
     if touched is not None:
         out = jnp.where(touched[:, None, None], out, 0.0)

@@ -138,6 +138,50 @@ def test_proxy_depth_occludes_splats():
         assert (alpha > 0.5) == expect_visible
 
 
+def test_raster_blocked_matches_per_entry_and_reference():
+    """The S-entries-per-grid-step kernel (raster._raster_kernel_blocked)
+    must be pixel-identical to the per-entry kernel and match the NumPy
+    oracle: same math, different grid/DMA structure."""
+    import sys as _sys
+
+    _sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]))
+    from gswt_renderer_tpu.ops import binning, raster
+    from test_binning_buckets import _proj
+
+    p = _proj(4096)
+    # force a strictly PSD quadratic (|qb| < sqrt(qa*qc)) so exponents are
+    # bounded above and g <= alpha <= 1 like real splats — non-PSD
+    # synthetic forms explode exp() and amplify scan associativity noise
+    qa, qb, qc = (np.asarray(x) for x in p["q"])
+    qb = 0.5 * np.sqrt(qa * qc) * np.sign(qb)
+    p["q"] = (jnp.asarray(qa), jnp.asarray(qb), jnp.asarray(qc))
+    image_wh, tile_wh, chunk = (256, 128), (64, 32), 128
+    b = binning.bin_pairs(
+        p, image_wh=image_wh, tile_wh=tile_wh, max_pairs=1 << 13,
+        chunk=chunk, exact=True, max_live=2048, live_buckets=(1024,))
+    dom = b["table"].shape[1]
+    ne = b["entry_tf"].shape[0]
+    assert dom % (4 * chunk) == 0 and ne % 4 == 0, (dom, ne)
+    n_tiles = 4 * 4
+    rng = np.random.default_rng(3)
+    depth = jnp.asarray(
+        rng.uniform(0.2, 1.0, (n_tiles, 32 * 64)).astype(np.float32))
+
+    def run(step):
+        return np.asarray(raster.rasterize_pallas(
+            b, depth, image_wh=image_wh, tile_wh=tile_wh, chunk=chunk,
+            interpret=True, exact=True, use_depth=True, step=step))
+
+    out1 = run(1)
+    out4 = run(4)
+    np.testing.assert_array_equal(out4, out1)
+    bn = {k: np.asarray(v) for k, v in b.items()}
+    ref = raster.rasterize_reference(
+        bn, np.asarray(depth), image_wh=image_wh, tile_wh=tile_wh,
+        chunk=chunk)
+    np.testing.assert_allclose(out4, ref, atol=2e-5)
+
+
 def test_write_png_roundtrip(tmp_path):
     img = np.random.default_rng(0).uniform(0, 1, (16, 16, 3)).astype(np.float32)
     p = write_png(tmp_path / "x.png", img)
