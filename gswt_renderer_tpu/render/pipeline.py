@@ -1012,6 +1012,42 @@ class Renderer:
                 int(a["proxy_pairs"]), getattr(self, "_proxy_hint", 1) or 1
             )
 
+    def bucket_hints(self) -> dict:
+        """Session maxima of the adaptive-bucket demands, JSON-serializable.
+        Persist across sessions and feed back via set_bucket_hints so the
+        first frame of a future run lands on the converged buckets (one
+        XLA compile per program instead of a grow-ladder of variants —
+        tunnel compiles are 40-200s each on the dev harness)."""
+        return dict(
+            n_extra=int(getattr(self, "_pairs_hint", 0) or 0),
+            n_live=int(getattr(self, "_live_hint", 0) or 0),
+            n_entries=int(getattr(self, "_ne_hint", 0) or 0),
+            n_live_paths=[
+                int(x) for x in getattr(self, "_livep_hint", None) or []
+            ],
+            proxy_pairs=int(getattr(self, "_proxy_hint", 0) or 0),
+        )
+
+    def set_bucket_hints(self, hints: dict) -> None:
+        """Seed the grow-only hints from a previous session's
+        bucket_hints(). Merges as floors (max with any current hint);
+        zero/absent entries are ignored so a partial dict is safe."""
+        def _floor(attr, v):
+            if v and int(v) > 0:
+                setattr(self, attr, max(
+                    int(v), getattr(self, attr, 0) or 0))
+
+        _floor("_pairs_hint", hints.get("n_extra"))
+        _floor("_live_hint", hints.get("n_live"))
+        _floor("_ne_hint", hints.get("n_entries"))
+        _floor("_proxy_hint", hints.get("proxy_pairs"))
+        lp = [int(x) for x in hints.get("n_live_paths") or []]
+        if lp:
+            prev = getattr(self, "_livep_hint", None)
+            if prev is not None and len(prev) == len(lp):
+                lp = [max(x, y) for x, y in zip(lp, prev)]
+            self._livep_hint = lp
+
     def _drain_one(self, fetch: bool | None = None):
         """Pop the oldest in-flight frame. The AUX scalars are read for
         EVERY drained frame (they were scheduled device->host async at

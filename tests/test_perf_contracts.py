@@ -9,6 +9,7 @@ round end. Absolute TPU numbers are bench.py's job (run with
 GSWT_TEST_TPU=1 for on-chip ceilings).
 """
 
+import json
 import os
 import time
 
@@ -101,5 +102,46 @@ def test_perf_smoke_small_frame_ceiling():
         ms = (time.perf_counter() - t0) / n * 1e3
         ceiling = 400.0 if os.environ.get("GSWT_TEST_TPU") == "1" else 3000.0
         assert ms < ceiling, f"small-config frame {ms:.0f} ms > {ceiling} ms"
+    finally:
+        eng.shutdown()
+
+
+def test_bucket_hints_roundtrip_reaches_same_buckets():
+    """bucket_hints()/set_bucket_hints() (bench.py persistence): seeding a
+    fresh renderer with a previous session's hints must produce the SAME
+    bucket choices as the session that generated them — that is the whole
+    point (one compile per program on a warm start)."""
+    eng = _mk_engine(synchronous=True)
+    try:
+        for _ in range(3):
+            eng.camera.translate(np.array([0.02, 0.05, 0.0], np.float32))
+            eng.frame(readback=False)
+        r = eng.renderer
+        h = r.bucket_hints()
+        assert h["n_live"] > 0 and h["n_entries"] > 0
+        s_pad = 1 << 13
+        want = (
+            r._pairs_bucket(s_pad), r._live_bucket(s_pad),
+            r._ne_bucket(s_pad, r._pairs_bucket(s_pad), r._live_bucket(s_pad)),
+            r._live_path_buckets(s_pad, r._live_bucket(s_pad)),
+        )
+        # fresh renderer, seeded only by the exported hints
+        eng2 = _mk_engine(synchronous=True)
+        try:
+            r2 = eng2.renderer
+            r2.set_bucket_hints(json.loads(json.dumps(h)))  # JSON round-trip
+            got = (
+                r2._pairs_bucket(s_pad), r2._live_bucket(s_pad),
+                r2._ne_bucket(s_pad, r2._pairs_bucket(s_pad),
+                              r2._live_bucket(s_pad)),
+                r2._live_path_buckets(s_pad, r2._live_bucket(s_pad)),
+            )
+            assert got == want
+            # floors merge upward, zeros/absent are ignored
+            r2.set_bucket_hints({"n_extra": 1, "n_live": 0})
+            assert r2._pairs_hint == max(1, h["n_extra"])
+            assert r2._live_hint == h["n_live"]
+        finally:
+            eng2.shutdown()
     finally:
         eng.shutdown()
