@@ -33,35 +33,22 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-HINTS_PATH = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), ".gswt_hints.json"
-)
-
-
 def _load_hints(key):
     """Previous-session converged bucket demands for this bench config
-    (renderer.bucket_hints()). Landing the first frame on the converged
-    buckets makes the warmup compile ONE variant per program instead of
-    climbing the grow-only ladder (each rung is a 40-200s tunnel compile)."""
-    try:
-        with open(HINTS_PATH) as f:
-            return json.load(f).get(key) or None
-    except Exception:
-        return None
+    (renderer.bucket_hints() via core/hintstore.py). Landing the first
+    frame on the converged buckets makes the warmup compile ONE variant
+    per program instead of climbing the grow-only ladder (each rung is a
+    40-200s tunnel compile)."""
+    from gswt_renderer_tpu.core import hintstore
+
+    return hintstore.load(key)
 
 
 def _save_hints(key, hints):
-    try:
-        try:
-            with open(HINTS_PATH) as f:
-                all_h = json.load(f)
-        except Exception:
-            all_h = {}
-        all_h[key] = hints
-        with open(HINTS_PATH, "w") as f:
-            json.dump(all_h, f, indent=1, sort_keys=True)
-    except Exception as e:  # pragma: no cover - advisory only
-        print(f"[bench] hint save failed: {e}", file=sys.stderr)
+    from gswt_renderer_tpu.core import hintstore
+
+    if not hintstore.save(key, hints):  # pragma: no cover - advisory
+        print(f"[bench] hint save failed for {key}", file=sys.stderr)
 
 
 def _dense_row(width, height, n_frames=64):

@@ -129,7 +129,8 @@ class Engine:
 
     def __init__(self, scene_vec, viewport=(1920, 1080),
                  renderer_config: RendererConfig | None = None,
-                 synchronous: bool = False):
+                 synchronous: bool = False,
+                 hints_key: str | None = None):
         # persistent XLA compile cache: first 1080p frame compile is ~60-100 s
         import os
 
@@ -159,6 +160,16 @@ class Engine:
             width=viewport[0], height=viewport[1]
         )
         self.renderer = Renderer(self.wang, rc)
+        # cross-session bucket-hint persistence (core/hintstore.py): seed
+        # the grow-only buckets with a previous session's demand maxima so
+        # startup compiles one variant per program instead of a ladder
+        self.hints_key = hints_key
+        if hints_key:
+            from ..core import hintstore
+
+            h = hintstore.load(hints_key)
+            if h:
+                self.renderer.set_bucket_hints(h)
         self.render_config = RenderConfig.new(self.wang.n_tiles[0])
         self.use_skybox = False
         self.use_proxy = False
@@ -537,5 +548,12 @@ class Engine:
                 self.wang.rng.bit_generator.state = rs
 
     def shutdown(self):
+        if self.hints_key:
+            from ..core import hintstore
+
+            h = self.renderer.bucket_hints()
+            # never clobber a good entry with an idle session's zeros
+            if h.get("n_live") or h.get("n_entries"):
+                hintstore.save(self.hints_key, h)
         if self.builder is not None:
             self.builder.stop()

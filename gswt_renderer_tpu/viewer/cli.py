@@ -40,12 +40,22 @@ def _make_engine(args):
     from ..engine import Engine
     from ..render.pipeline import RendererConfig  # noqa: F401
 
+    import os
+
     w, h = (int(x) for x in args.size.split("x"))
+    scene_tag = (
+        os.path.basename(args.zip) if args.zip
+        else os.path.basename(args.dir.rstrip("/")) if args.dir
+        else f"synth{args.synth_lods}x{args.synth_splats}"
+    )
     eng = Engine(
         _load_scene(args),
         viewport=(w, h),
         renderer_config=RendererConfig(width=w, height=h),
         synchronous=args.sync,
+        # warm-start the adaptive buckets from the last session with this
+        # resolution + scene (core/hintstore.py): one compile per program
+        hints_key=f"v1_{w}x{h}_{scene_tag}",
     )
     from ..io.textures import (
         load_height_map,

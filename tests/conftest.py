@@ -23,8 +23,17 @@ if os.environ.get("GSWT_TEST_TPU") != "1":
 
     jax.config.update("jax_platforms", "cpu")
 
+import tempfile
+
 import numpy as np
 import pytest
+
+# keep test engines (cli/e2e paths pass hints_key) from writing bucket
+# hints into the repo's committed .gswt_hints.json
+os.environ.setdefault(
+    "GSWT_HINTS_PATH",
+    os.path.join(tempfile.gettempdir(), "gswt_test_hints.json"),
+)
 
 
 @pytest.fixture

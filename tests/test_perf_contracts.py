@@ -145,3 +145,43 @@ def test_bucket_hints_roundtrip_reaches_same_buckets():
             eng2.shutdown()
     finally:
         eng.shutdown()
+
+
+def test_hintstore_engine_roundtrip(tmp_path, monkeypatch):
+    """Engine(hints_key=...) persists demand maxima on shutdown and seeds
+    a fresh engine from the store (core/hintstore.py)."""
+    monkeypatch.setenv("GSWT_HINTS_PATH", str(tmp_path / "h.json"))
+    from gswt_renderer_tpu.core import hintstore
+
+    sv = synthetic_scene_vec(n_lod=2, splats_per_tile=48)
+    rc = RendererConfig(width=64, height=64, max_draws=64,
+                        max_stream=1 << 13, min_stream=1 << 11, chunk=128)
+    ud = UserData.from_ui(
+        tile_map_half_wh=(2, 2), height_map_scale=(1.0, 0.0),
+        lod_max_dist=8.0, surface_type=SurfaceType.HEIGHT_MAP,
+        merge_type=SelectiveMergeType.EDGE, merge_dot_threshold=0.5,
+        merge_topk=20, tile_sort_type=TileSortType.GRAPH,
+    )
+    eng = Engine(sv, viewport=(64, 64), renderer_config=rc,
+                 synchronous=True, hints_key="k1")
+    eng.configure(ud)
+    assert eng.wait_ready(timeout_s=120)
+    for _ in range(2):
+        eng.camera.translate(np.array([0.02, 0.05, 0.0], np.float32))
+        eng.frame(readback=False)
+    want = eng.renderer.bucket_hints()
+    eng.shutdown()
+    assert hintstore.load("k1") == want
+    # idle session must NOT clobber the stored entry with zeros
+    eng_idle = Engine(sv, viewport=(64, 64), renderer_config=rc,
+                      synchronous=True, hints_key="k1")
+    eng_idle.shutdown()
+    assert hintstore.load("k1") == want
+    # a fresh engine seeds its buckets from the store
+    eng2 = Engine(sv, viewport=(64, 64), renderer_config=rc,
+                  synchronous=True, hints_key="k1")
+    try:
+        assert eng2.renderer.bucket_hints()["n_live"] == want["n_live"]
+        assert eng2.renderer._ne_hint == want["n_entries"]
+    finally:
+        eng2.shutdown()
