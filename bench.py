@@ -68,8 +68,13 @@ def _dense_row(width, height, n_frames=64):
 
     t0 = time.time()
     sv = synthetic_scene_vec(n_lod=5, splats_per_tile=8192, lod_decay=4)
+    # max_stream 2x the headline cap: the dense scene's visible stream is
+    # ~4.8M splats — the default 1<<22 cap silently dropped ~14% of the
+    # far field every frame, making the density row measure a truncated
+    # scene (r3d log: "dropped 638848 far splats" per frame)
     eng = Engine(sv, viewport=(width, height),
-                 renderer_config=RendererConfig(width=width, height=height),
+                 renderer_config=RendererConfig(width=width, height=height,
+                                                max_stream=1 << 23),
                  synchronous=False)
     hkey = f"v1_{width}x{height}_dense8192_l5"
     loaded = _load_hints(hkey)
