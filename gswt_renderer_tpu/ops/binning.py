@@ -124,8 +124,8 @@ def build_worklist(sorted_key, *, n_tiles, max_pairs: int, chunk: int,
     if max_entries is not None:
         ne_max = min(ne_max, max_entries)
     # blocked raster kernels consume a multiple-of-`step` entry count
-    # (raster.py _raster_kernel_blocked); align up to 8 to cover all steps
-    ne_max = -(-ne_max // 8) * 8
+    # (raster.py _raster_kernel_blocked); align up to 16 to cover all steps
+    ne_max = -(-ne_max // 16) * 16
 
     ei = jnp.arange(ne_max, dtype=jnp.int32)
     t_of_e = jnp.searchsorted(e_offs, ei, side="right").astype(jnp.int32) - 1

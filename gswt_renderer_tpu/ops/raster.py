@@ -437,7 +437,7 @@ def rasterize_pallas(binned, depth_tiles, *, image_wh, tile_wh, chunk: int,
     step: worklist entries per grid step (default GSWT_RASTER_STEP or 4).
     The blocked kernel needs the table domain to be a multiple of
     step*chunk with >= 2 superblocks and an entry count that is a
-    multiple of step (build_worklist aligns to 8); anything else falls
+    multiple of step (build_worklist aligns to 16); anything else falls
     back to the per-entry kernel.
     """
     depth_tiles = depth_tiles.reshape(depth_tiles.shape[0], 1, -1)

@@ -161,7 +161,8 @@ def test_raster_blocked_matches_per_entry_and_reference():
         chunk=chunk, exact=True, max_live=2048, live_buckets=(1024,))
     dom = b["table"].shape[1]
     ne = b["entry_tf"].shape[0]
-    assert dom % (4 * chunk) == 0 and ne % 4 == 0, (dom, ne)
+    # build_worklist aligns ne to 16 so every blocked step size divides it
+    assert dom % (4 * chunk) == 0 and ne % 16 == 0, (dom, ne)
     n_tiles = 4 * 4
     rng = np.random.default_rng(3)
     depth = jnp.asarray(
@@ -175,6 +176,7 @@ def test_raster_blocked_matches_per_entry_and_reference():
     out1 = run(1)
     out4 = run(4)
     np.testing.assert_array_equal(out4, out1)
+    np.testing.assert_array_equal(run(16), out1)
     bn = {k: np.asarray(v) for k, v in b.items()}
     ref = raster.rasterize_reference(
         bn, np.asarray(depth), image_wh=image_wh, tile_wh=tile_wh,
