@@ -208,10 +208,63 @@ def build_pair_table(sorted_key, dead, cx, cy, qa, qb, qc, z, r, g, b, a, *,
     )
 
 
+def _rect_min_q(qa, qb, qc, lx0, lx1, ly0, ly1):
+    """Min of the PSD quadratic Q(x,y) = qa x^2 + 2 qb xy + qc y^2 over
+    the rectangle [lx0,lx1] x [ly0,ly1] (coordinates relative to the splat
+    center). Zero when the center is inside; else the min lies on one of
+    the four edges, each a 1D quadratic minimized at its clamped vertex
+    (degenerate qa/qc: the huge t* clamps to an endpoint, which IS the
+    linear case's minimizer)."""
+    inside = (lx0 <= 0.0) & (0.0 <= lx1) & (ly0 <= 0.0) & (0.0 <= ly1)
+    tiny = jnp.float32(1e-20)
+
+    def edge_x(dx):  # x fixed at dx, y in [ly0, ly1]
+        t = jnp.clip(-qb * dx / jnp.maximum(qc, tiny), ly0, ly1)
+        return qa * dx * dx + 2.0 * qb * dx * t + qc * t * t
+
+    def edge_y(dy):  # y fixed at dy, x in [lx0, lx1]
+        t = jnp.clip(-qb * dy / jnp.maximum(qa, tiny), lx0, lx1)
+        return qc * dy * dy + 2.0 * qb * dy * t + qa * t * t
+
+    m = jnp.minimum(
+        jnp.minimum(edge_x(lx0), edge_x(lx1)),
+        jnp.minimum(edge_y(ly0), edge_y(ly1)),
+    )
+    return jnp.where(inside, 0.0, m)
+
+
+# conservative margin over the exp(-4) cutoff: the raster kernel evaluates
+# the SAME coefficients through a recentered bf16 hi/lo matmul (documented
+# ~1e-3 absolute exponent error in the fast profile); pairs within the
+# margin of the cutoff are kept
+_CULL_MARGIN = 0.05
+
+
+def _cull_pair_tiles(tiles, cx, cy, qa, qb, qc, *, ntx, n_tiles, tile_wh):
+    """Exact ellipse-tile cull: remap pairs whose quadratic cannot reach
+    the exp(-4) discard threshold at ANY pixel center of their tile to the
+    dead sentinel (n_tiles), so they sort out of every tile run and shrink
+    the raster worklist. Bit-safe: the raster kernel masks those fragments
+    to zero anyway (mask = expnt >= CUTOFF, ops/raster.py), so the image
+    is unchanged; only dead work is removed. Pixel centers sit at +0.5
+    offsets, so the test rect is inset by 0.5 on every side."""
+    tw, th = tile_wh
+    t_c = jnp.minimum(tiles, n_tiles - 1)
+    ox = (t_c % ntx * tw).astype(jnp.float32)
+    oy = (t_c // ntx * th).astype(jnp.float32)
+    minq = _rect_min_q(
+        qa, qb, qc,
+        ox + 0.5 - cx, ox + (tw - 0.5) - cx,
+        oy + 0.5 - cy, oy + (th - 0.5) - cy,
+    )
+    return jnp.where(minq > 4.0 + _CULL_MARGIN, n_tiles, tiles)
+
+
 def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
               exact: bool = True, max_entries: int | None = None,
               max_live: int | None = None, elem_paths: int = 2,
-              live_buckets: tuple[int, ...] | None = None):
+              live_buckets: tuple[int, ...] | None = None,
+              cull_exact: bool = False):
     """p: projection outputs (front-to-back order, S lanes). Static:
     image_wh (W,H), tile_wh (tw, th) pixels, max_pairs, chunk, exact,
     max_entries (worklist budget, see build_worklist), max_live (live-splat
@@ -383,13 +436,31 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
     # pref[j] prefix (a full l_pad stripe when uncompacted). Each path
     # removes a whole rank of the k>=elem_paths scatter+gather expansion
     # (measured at 1080p: elem 4 cuts extras demand ~4x, 0.90M -> 0.22M).
+    def _cq(rows, sl):
+        """(cx, cy, qa, qb, qc) from payload rows (prefix slice sl),
+        unpacking the fast profile's bf16-packed quadratic (the cull then
+        tests the SAME coefficient values the raster kernel consumes)."""
+        if exact:
+            return (rows[0][sl], rows[1][sl], rows[2][sl], rows[3][sl],
+                    rows[4][sl])
+        u2 = bc(rows[2][sl], jnp.int32)
+        hi = jnp.int32(-65536)  # 0xFFFF0000
+        return (
+            rows[0][sl], rows[1][sl],
+            bc(u2 & hi, jnp.float32), bc(u2 << 16, jnp.float32),
+            bc(bc(rows[3][sl], jnp.int32) & hi, jnp.float32),
+        )
+
     elem_tiles = []
     for j in range(elem_paths):
         b = pref[j]
         tj = (y0c[:b] + j // nxc[:b]) * ntx + (x0c[:b] + j % nxc[:b])
-        elem_tiles.append(
-            jnp.where(live[:b] & (countc[:b] >= j + 1), tj, n_tiles)
-        )
+        tj = jnp.where(live[:b] & (countc[:b] >= j + 1), tj, n_tiles)
+        if cull_exact:
+            tj = _cull_pair_tiles(
+                tj, *_cq(payload_c, slice(0, b)),
+                ntx=ntx, n_tiles=n_tiles, tile_wh=tile_wh)
+        elem_tiles.append(tj)
 
     # ---- path k>=elem_paths: remaining extras via scatter+cummax ----
     # every contributor (count > elem_paths) is in the smallest prefix
@@ -428,6 +499,11 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
     tx2 = (bb2 & 0xFF) + k2 % nx2
     ty2 = ((bb2 >> 8) & 0xFF) + k2 // nx2
     tile2 = jnp.where(live2, ty2 * ntx + tx2, n_tiles)
+    if cull_exact:
+        tile2 = _cull_pair_tiles(
+            tile2, *_cq([g_rows[2 + i] for i in range(len(payload_c))],
+                        slice(None)),
+            ntx=ntx, n_tiles=n_tiles, tile_wh=tile_wh)
 
     # ---- joint sort carrying payload (no post-sort gather) ----
     n_dom = sum(pref) + m2

@@ -21,6 +21,7 @@ powers of two to keep shapes static with minimal padding.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
@@ -107,6 +108,13 @@ class RendererConfig:
     # the 1080p bench (extras demand 0.90M -> 0.22M, frame 191 -> 174 ms;
     # 3 and 6 were worse).
     elem_paths: int = 4
+    # exact ellipse-tile pair cull (ops/binning.py _cull_pair_tiles):
+    # masks bbox pairs whose quadratic cannot reach the exp(-4) cutoff at
+    # any pixel center of their tile — bit-safe (the kernel zeroes those
+    # fragments anyway), shrinks raster worklists by the bbox-vs-ellipse
+    # waste (~4.5% at 64x32 tiles, grows as tiles shrink). Off by default
+    # pending an on-chip A/B (GSWT_CULL_EXACT=1 flips it).
+    cull_exact: bool = os.environ.get("GSWT_CULL_EXACT", "0") == "1"
     interpret: bool | None = None  # None = auto (interpret off on TPU)
     # exact=True follows the WGSL/oracle math ALGEBRAICALLY (the ln-alpha
     # exponent fold and per-tile recentering change f32 rounding, so it is
@@ -603,7 +611,7 @@ class Renderer:
                 p, image_wh=image_wh, tile_wh=tile_wh, max_pairs=max_pairs,
                 chunk=c.chunk, exact=c.exact, max_entries=max_entries,
                 max_live=max_live, elem_paths=c.elem_paths,
-                live_buckets=live_buckets,
+                live_buckets=live_buckets, cull_exact=c.cull_exact,
             )
             binned.pop("grid_info")
 

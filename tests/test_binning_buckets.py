@@ -174,3 +174,36 @@ def test_live_path_buckets_invisible_and_flagged(elem):
                  live_buckets=(128,) * (elem - 1))
     assert bool(under["overflow"])
     np.testing.assert_array_equal(np.asarray(under["n_live_paths"]), lp)
+
+
+@pytest.mark.parametrize("exact", [True, False])
+def test_cull_exact_pixel_identical(exact):
+    """The exact ellipse-tile cull (bin_pairs cull_exact) removes only
+    pairs whose quadratic cannot reach the exp(-4) cutoff at any pixel
+    center of their tile, so the rasterized image must be IDENTICAL and
+    the worklist strictly no larger. The synthetic stream's random ext
+    values overshoot the ellipse, so a real cull fraction is exercised."""
+    from gswt_renderer_tpu.ops import raster
+
+    p = _proj(4096, seed=3)
+    # strictly PSD quadratics so exponents are bounded like real splats
+    qa, qb, qc = (np.asarray(x) for x in p["q"])
+    qb = 0.5 * np.sqrt(qa * qc) * np.sign(qb)
+    p["q"] = (jnp.asarray(qa), jnp.asarray(qb), jnp.asarray(qc))
+    base = _run(p, max_live=2048, exact=exact)
+    cull = _run(p, max_live=2048, exact=exact, cull_exact=True)
+    assert int(cull["n_pairs"]) == int(base["n_pairs"])  # demand metric
+    # the cull must actually remove pair mass on this stream
+    rs_b = np.asarray(base["range_start"]); re_b = np.asarray(base["range_end"])
+    rs_c = np.asarray(cull["range_start"]); re_c = np.asarray(cull["range_end"])
+    assert (re_c - rs_c).sum() < (re_b - rs_b).sum()
+    image_wh, tile_wh, chunk = (256, 128), (64, 32), 128
+    n_tiles = 4 * 4
+    depth = jnp.ones((n_tiles, 32 * 64), jnp.float32)
+    out_b = np.asarray(raster.rasterize_pallas(
+        base, depth, image_wh=image_wh, tile_wh=tile_wh, chunk=chunk,
+        interpret=True, exact=True, use_depth=False))
+    out_c = np.asarray(raster.rasterize_pallas(
+        cull, depth, image_wh=image_wh, tile_wh=tile_wh, chunk=chunk,
+        interpret=True, exact=True, use_depth=False))
+    np.testing.assert_allclose(out_c, out_b, atol=1e-6)
