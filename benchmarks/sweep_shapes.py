@@ -32,7 +32,11 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-DEFAULT_GRID = "64x32x256x4,64x32x256x1,32x32x256x4,32x16x128x8,32x16x256x8,16x16x128x8"
+# trailing "c" = exact ellipse-tile cull on (RendererConfig.cull_exact)
+DEFAULT_GRID = (
+    "64x32x256x4,64x32x256x1,64x32x256x4c,32x32x256x4,"
+    "32x16x128x8,32x16x128x8c,16x16x128x8,16x16x128x8c"
+)
 
 
 def fly_path():
@@ -52,8 +56,8 @@ def fly_path():
     return fp
 
 
-def run_config(scene_vec, tile_w, tile_h, chunk, step, *, width, height,
-               n_frames, n_lod, splats):
+def run_config(scene_vec, tile_w, tile_h, chunk, step, cull, *, width,
+               height, n_frames, n_lod, splats):
     from gswt_renderer_tpu.core import UserData, hintstore
     from gswt_renderer_tpu.core.config import SurfaceType
     from gswt_renderer_tpu.engine import Engine
@@ -65,11 +69,11 @@ def run_config(scene_vec, tile_w, tile_h, chunk, step, *, width, height,
         scene_vec, viewport=(width, height),
         renderer_config=RendererConfig(
             width=width, height=height,
-            tile_w=tile_w, tile_h=tile_h, chunk=chunk),
+            tile_w=tile_w, tile_h=tile_h, chunk=chunk, cull_exact=cull),
         synchronous=False,
     )
     hkey = (f"v1_{width}x{height}_s{splats}_l{n_lod}_full"
-            f"_t{tile_w}x{tile_h}_c{chunk}")
+            f"_t{tile_w}x{tile_h}_c{chunk}" + ("_cull" if cull else ""))
     loaded = hintstore.load(hkey)
     if loaded:
         eng.renderer.set_bucket_hints(loaded)
@@ -124,7 +128,7 @@ def run_config(scene_vec, tile_w, tile_h, chunk, step, *, width, height,
         stamps.append(time.perf_counter())
     eng.renderer.drain()
     stamps.append(time.perf_counter())
-    win = 8
+    win = min(8, max(len(stamps) - 2, 1))
     wins = [
         (stamps[i + win] - stamps[i]) / win * 1e3
         for i in range(0, len(stamps) - win, win)
@@ -171,20 +175,22 @@ def main():
     grid = os.environ.get("GSWT_SWEEP") or DEFAULT_GRID
     configs = []
     for item in grid.split(","):
-        tw, th, ch, st = (int(x) for x in item.strip().split("x"))
-        configs.append((tw, th, ch, st))
+        item = item.strip()
+        cull = item.endswith("c")
+        tw, th, ch, st = (int(x) for x in item.rstrip("c").split("x"))
+        configs.append((tw, th, ch, st, cull))
 
     scene_vec = synthetic_scene_vec(
         n_lod=n_lod, splats_per_tile=splats,
         lod_decay=4 if n_lod > 3 else 2, seed=0)
 
     results = {}
-    for tw, th, ch, st in configs:
-        key = f"{tw}x{th}x{ch}x{st}"
+    for tw, th, ch, st, cull in configs:
+        key = f"{tw}x{th}x{ch}x{st}" + ("c" if cull else "")
         print(f"[sweep] {key} ...", file=sys.stderr, flush=True)
         try:
             res = run_config(
-                scene_vec, tw, th, ch, st, width=width, height=height,
+                scene_vec, tw, th, ch, st, cull, width=width, height=height,
                 n_frames=n_frames, n_lod=n_lod, splats=splats)
         except Exception as e:  # keep sweeping past one bad config
             res = dict(error=f"{type(e).__name__}: {e}")
