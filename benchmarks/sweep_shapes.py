@@ -65,15 +65,19 @@ def run_config(scene_vec, tile_w, tile_h, chunk, step, cull, *, width,
 
     os.environ["GSWT_RASTER_STEP"] = str(step)
     t0 = time.time()
+    elem = int(os.environ.get("GSWT_SWEEP_ELEM") or 0)
+    rc_kw = dict(elem_paths=elem) if elem else {}
     eng = Engine(
         scene_vec, viewport=(width, height),
         renderer_config=RendererConfig(
             width=width, height=height,
-            tile_w=tile_w, tile_h=tile_h, chunk=chunk, cull_exact=cull),
+            tile_w=tile_w, tile_h=tile_h, chunk=chunk, cull_exact=cull,
+            **rc_kw),
         synchronous=False,
     )
     hkey = (f"v1_{width}x{height}_s{splats}_l{n_lod}_full"
-            f"_t{tile_w}x{tile_h}_c{chunk}" + ("_cull" if cull else ""))
+            f"_t{tile_w}x{tile_h}_c{chunk}" + ("_cull" if cull else "")
+            + (f"_e{elem}" if elem else ""))
     loaded = hintstore.load(hkey)
     if loaded:
         eng.renderer.set_bucket_hints(loaded)
