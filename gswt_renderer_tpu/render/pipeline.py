@@ -115,6 +115,12 @@ class RendererConfig:
     # waste (~4.5% at 64x32 tiles, grows as tiles shrink). Off by default
     # pending an on-chip A/B (GSWT_CULL_EXACT=1 flips it).
     cull_exact: bool = os.environ.get("GSWT_CULL_EXACT", "0") == "1"
+    # the proxy triangle raster's tile grid is independent of the splat
+    # grid (its full-image depth output is re-tiled to the splat grid by
+    # image_to_depth_tiles); 64x32 won its own trade between per-entry
+    # pixel work and worklist entry count
+    proxy_tile_w: int = 64
+    proxy_tile_h: int = 32
     interpret: bool | None = None  # None = auto (interpret off on TPU)
     # exact=True follows the WGSL/oracle math ALGEBRAICALLY (the ln-alpha
     # exponent fold and per-tile recentering change f32 rounding, so it is
@@ -625,10 +631,15 @@ class Renderer:
                 popts = dict(proxy_opts)
                 mip_meta = popts.pop("mip_meta")
                 proxy_pairs = popts.pop("proxy_pairs")
+                # the proxy raster bins triangles on its OWN tile grid
+                # (it returns a full-image depth buffer, re-tiled below to
+                # the splat grid) — fine splat tiles would otherwise
+                # multiply the proxy worklist 4-8x for no benefit
                 pcol, depth, hit, paux = render_proxy(
                     cam, scene, image_wh, hm4, self.height_map_wh,
                     proxy_tex, self.proxy_wh, surface_type=surface_type,
-                    mip_meta=mip_meta, tile_wh=tile_wh, chunk=128,
+                    mip_meta=mip_meta,
+                    tile_wh=(c.proxy_tile_w, c.proxy_tile_h), chunk=128,
                     interpret=c.interpret, proxy_pairs=proxy_pairs, **popts,
                 )
                 bg = jnp.where(hit[..., None], pcol, bg)
