@@ -288,3 +288,46 @@ def test_factored_mip_pyramid_l_min_clamp():
         ref = np.array([0.25, 0.5, 0.75])
         q = np.round(ref * 255.0) / 255.0
         assert np.abs(out - q[:, None]).max() < 0.01, (rho_v, out[:, 0])
+
+
+def test_scan_weight_impls_agree():
+    """All GSWT_SCAN_IMPL variants (concat/roll/fold/diff) must produce the
+    same compositing weights and carry as the NumPy cumprod reference.
+    fold divides by t = 1-g clamped at 2^-10, so it is tested away from the
+    alpha -> 1 edge (documented: the clamp only perturbs weights behind a
+    fully opaque fragment)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gswt_renderer_tpu.ops import raster
+
+    rng = np.random.default_rng(5)
+    c, p = 64, 128
+    for trial in range(3):
+        g = rng.uniform(0.0, 0.95, (c, p)).astype(np.float32)
+        g[rng.uniform(size=(c, p)) > 0.4] = 0.0  # sparse like real chunks
+        carry = rng.uniform(0.2, 1.0, (1, p)).astype(np.float32)
+        t = 1.0 - g
+        t_incl = np.cumprod(t, axis=0) * carry
+        t_excl = np.concatenate([carry, t_incl[:-1]], axis=0)
+        w_ref = g * t_excl
+        gj, cj = jnp.asarray(g), jnp.asarray(carry)
+        impls = {
+            "concat": lambda: raster._scan_weights_concat(gj, cj),
+            "roll": lambda: raster._scan_weights_roll(gj, cj),
+        }
+        for name, f in impls.items():
+            ti, te = jax.jit(f)()
+            np.testing.assert_allclose(np.asarray(gj * te), w_ref,
+                                       atol=1e-5, err_msg=name)
+            np.testing.assert_allclose(np.asarray(ti)[-1:], t_incl[-1:],
+                                       atol=1e-5, err_msg=name)
+        for name, f in {
+            "fold": lambda: raster._scan_weights_fold(gj, cj),
+            "diff": lambda: raster._scan_weights_diff(gj, cj),
+        }.items():
+            w, tn = jax.jit(f)()
+            np.testing.assert_allclose(np.asarray(w), w_ref, atol=1e-4,
+                                       err_msg=name)
+            np.testing.assert_allclose(np.asarray(tn), t_incl[-1:],
+                                       atol=1e-5, err_msg=name)
