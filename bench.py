@@ -72,11 +72,11 @@ def _dense_row(width, height, n_frames=64):
     # ~4.8M splats — the default 1<<22 cap silently dropped ~14% of the
     # far field every frame, making the density row measure a truncated
     # scene (r3d log: "dropped 638848 far splats" per frame)
-    eng = Engine(sv, viewport=(width, height),
-                 renderer_config=RendererConfig(width=width, height=height,
-                                                max_stream=1 << 23),
+    rc = RendererConfig(width=width, height=height, max_stream=1 << 23)
+    eng = Engine(sv, viewport=(width, height), renderer_config=rc,
                  synchronous=False)
-    hkey = f"v1_{width}x{height}_dense8192_l5"
+    hkey = (f"v1_{width}x{height}_dense8192_l5"
+            f"_t{rc.tile_w}x{rc.tile_h}_c{rc.chunk}")
     loaded = _load_hints(hkey)
     if loaded:
         eng.renderer.set_bucket_hints(loaded)
@@ -142,13 +142,19 @@ def main():
         lod_decay=4 if n_lod > 3 else 2, seed=0,
     )
 
+    rc = RendererConfig(width=width, height=height)
     eng = Engine(
         scene_vec,
         viewport=(width, height),
-        renderer_config=RendererConfig(width=width, height=height),
+        renderer_config=rc,
         synchronous=False,
     )
-    hkey = f"v1_{width}x{height}_s{splats}_l{n_lod}_full"
+    # key format matches benchmarks/sweep_shapes.py so a sweep run of the
+    # same (shape, chunk, cull) pre-warms the headline's buckets — and a
+    # future default-shape change can't inherit mis-scaled demand floors
+    hkey = (f"v1_{width}x{height}_s{splats}_l{n_lod}_full"
+            f"_t{rc.tile_w}x{rc.tile_h}_c{rc.chunk}"
+            + ("_cull" if rc.cull_exact else ""))
     loaded_hints = _load_hints(hkey)
     if loaded_hints:
         eng.renderer.set_bucket_hints(loaded_hints)
