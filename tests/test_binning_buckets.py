@@ -176,6 +176,69 @@ def test_live_path_buckets_invisible_and_flagged(elem):
     np.testing.assert_array_equal(np.asarray(under["n_live_paths"]), lp)
 
 
+def test_unpacked_two_key_sort_matches_enumeration():
+    """4K-scale grids overflow the single-u32 (tile, slot) key packing
+    (rank_bits + tile_bits > 32) and bin_pairs falls back to the 2-key
+    sort (binning.py packed_key=False). Force that branch — 4096x4096 at
+    16x16 tiles (256x256 grid = 17 tile bits) with a 2^17 stream (17 slot
+    bits) — and pin the sorted pair sequence against a NumPy enumeration:
+    per-tile counts and the exact front-to-back z order."""
+    s_n = 1 << 17
+    w, h, tw, th = 4096, 4096, 16, 16
+    ntx = w // tw
+    n_tiles = ntx * (h // th)
+    assert int(np.ceil(np.log2(s_n))) + int(np.ceil(np.log2(n_tiles + 1))) > 32
+
+    rng = np.random.RandomState(5)
+    cx = rng.uniform(-30, w + 30, s_n).astype(np.float32)
+    cy = rng.uniform(-30, h + 30, s_n).astype(np.float32)
+    ext = rng.uniform(1.0, 20.0, (2, s_n)).astype(np.float32)
+    q = rng.uniform(0.001, 0.1, (3, s_n)).astype(np.float32)
+    q[1] *= 0.1
+    col = rng.uniform(0.0, 1.0, (4, s_n)).astype(np.float32)
+    z = ((np.arange(s_n) + 1.0) / (s_n + 2.0)).astype(np.float32)  # unique
+    valid = rng.rand(s_n) < 0.05
+    p = dict(
+        cx=jnp.asarray(cx), cy=jnp.asarray(cy),
+        ext_x=jnp.asarray(ext[0]), ext_y=jnp.asarray(ext[1]),
+        q=tuple(jnp.asarray(qi) for qi in q),
+        color=tuple(jnp.asarray(ci) for ci in col),
+        z=jnp.asarray(z), valid=jnp.asarray(valid),
+    )
+    b = binning.bin_pairs(
+        p, image_wh=(w, h), tile_wh=(tw, th), max_pairs=1 << 16,
+        chunk=128, exact=True, max_live=1 << 13, elem_paths=4,
+    )
+    assert not bool(b["overflow"])
+
+    # NumPy oracle: enumerate (tile, slot) pairs, sort by (tile, slot)
+    x0 = np.clip(np.floor((cx - ext[0]) / tw), 0, ntx - 1).astype(np.int64)
+    x1 = np.clip(np.floor((cx + ext[0]) / tw), 0, ntx - 1).astype(np.int64)
+    y0 = np.clip(np.floor((cy - ext[1]) / th), 0, h // th - 1).astype(np.int64)
+    y1 = np.clip(np.floor((cy + ext[1]) / th), 0, h // th - 1).astype(np.int64)
+    on = (cx + ext[0] >= 0) & (cx - ext[0] < w) & (cy + ext[1] >= 0) & (cy - ext[1] < h)
+    tiles, slots = [], []
+    for s in np.nonzero(valid & on)[0]:
+        for ty in range(y0[s], y1[s] + 1):
+            for tx in range(x0[s], x1[s] + 1):
+                tiles.append(ty * ntx + tx)
+                slots.append(s)
+    tiles = np.asarray(tiles, np.int64)
+    slots = np.asarray(slots, np.int64)
+    order = np.lexsort((slots, tiles))
+    n_pairs = tiles.shape[0]
+    assert int(b["n_pairs"]) == n_pairs
+
+    # per-tile counts match
+    rs = np.asarray(b["range_start"]); re_ = np.asarray(b["range_end"])
+    counts = np.bincount(tiles, minlength=n_tiles)
+    np.testing.assert_array_equal(re_ - rs, counts)
+    # sorted live pairs are the contiguous prefix of the table, in exact
+    # (tile, slot) order: the z row identifies each pair's source splat
+    z_got = np.asarray(b["table"])[6, :n_pairs]
+    np.testing.assert_array_equal(z_got, z[slots[order]])
+
+
 @pytest.mark.parametrize("exact", [True, False])
 def test_cull_exact_pixel_identical(exact):
     """The exact ellipse-tile cull (bin_pairs cull_exact) removes only
