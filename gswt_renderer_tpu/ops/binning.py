@@ -298,7 +298,8 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
       table — [16, dom] f32 rows k0..k5 (recentered to each pair's tile
         origin, build_pair_table), z, 0, r, g, b, a, 0x4. In the fast
         profile the payload carried through the sorts is quantized (bf16
-        q/z, u8 rgba — PARITY.md #8); exact carries f32.
+        Cholesky factors of the quadratic — PSD-safe, see the pack site —
+        bf16 z, u8 rgba; PARITY.md #8); exact carries f32.
       entry_tf/entry_chunk/range_start/range_end [.] i32 (worklist)
       n_pairs i32 (true pair demand), n_extra i32 (k>=elem_paths demand — bucket
         max_pairs on THIS), n_live i32 (bucket max_live on THIS),
@@ -342,8 +343,25 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
         def bf16_hi(x):
             return bc(x.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
 
-        qab = bc((bf16_hi(qa) << 16) | bf16_hi(qb), jnp.float32)
-        qcz = bc((bf16_hi(qc) << 16) | bf16_hi(p["z"]), jnp.float32)
+        # The quadratic is quantized as its CHOLESKY factors (Q = L L^T,
+        # rows l11|l21 and l22|z), not as (qa, qb, qc): grazing-angle
+        # splats reach |qb|/sqrt(qa*qc) within 1e-7 of 1 (axis ratios up
+        # to the 1024-px eigen clamp), and bf16's 2^-9 relative rounding
+        # on the raw coefficients tips ~half of them INDEFINITE — the
+        # exponent then GROWS along the bbox (exp(+1000s) at far tiles)
+        # and one splat floods its tiles with inf/NaN. L quantized at any
+        # precision keeps L L^T PSD by construction and carries the
+        # ill-conditioned factors at full per-entry relative accuracy (a
+        # direct |qb| clamp would crush the splat's long axis to
+        # ~16:1). Cost: the same two packed rows; unpack is 4 fused
+        # multiplies. Worst-case coefficient error doubles to ~2^-8
+        # relative (two roundings compose), still inside the fast
+        # profile's ROP budget (tests/test_fastmode.py).
+        l11 = jnp.sqrt(jnp.maximum(qa, 1e-12))
+        l21 = qb / l11
+        l22 = jnp.sqrt(jnp.maximum(qc - l21 * l21, 0.0))
+        qab = bc((bf16_hi(l11) << 16) | bf16_hi(l21), jnp.float32)
+        qcz = bc((bf16_hi(l22) << 16) | bf16_hi(p["z"]), jnp.float32)
 
         def u8v(x):
             return jnp.round(
@@ -445,10 +463,12 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
                     rows[4][sl])
         u2 = bc(rows[2][sl], jnp.int32)
         hi = jnp.int32(-65536)  # 0xFFFF0000
+        l11 = bc(u2 & hi, jnp.float32)
+        l21 = bc(u2 << 16, jnp.float32)
+        l22 = bc(bc(rows[3][sl], jnp.int32) & hi, jnp.float32)
         return (
             rows[0][sl], rows[1][sl],
-            bc(u2 & hi, jnp.float32), bc(u2 << 16, jnp.float32),
-            bc(bc(rows[3][sl], jnp.int32) & hi, jnp.float32),
+            l11 * l11, l11 * l21, l21 * l21 + l22 * l22,
         )
 
     elem_tiles = []
@@ -549,9 +569,13 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
         u3 = bc(rows_s[3], jnp.int32)
         u4 = bc(jnp.where(dead, 0.0, rows_s[4]), jnp.int32)
         hi = jnp.int32(-65536)  # 0xFFFF0000
-        qag = bc(u2 & hi, jnp.float32)
-        qbg = bc(u2 << 16, jnp.float32)
-        qcg = bc(u3 & hi, jnp.float32)
+        # Cholesky unpack (see the pack site above): PSD by construction
+        l11 = bc(u2 & hi, jnp.float32)
+        l21 = bc(u2 << 16, jnp.float32)
+        l22 = bc(u3 & hi, jnp.float32)
+        qag = l11 * l11
+        qbg = l11 * l21
+        qcg = l21 * l21 + l22 * l22
         zg = bc(u3 << 16, jnp.float32)
         inv255 = jnp.float32(1.0 / 255.0)
         rg = (u4 & 0xFF).astype(jnp.float32) * inv255

@@ -270,3 +270,73 @@ def test_cull_exact_pixel_identical(exact):
         cull, depth, image_wh=image_wh, tile_wh=tile_wh, chunk=chunk,
         interpret=True, exact=True, use_depth=False))
     np.testing.assert_allclose(out_c, out_b, atol=1e-6)
+
+
+def test_fast_quantization_keeps_degenerate_quadratics_psd():
+    """Grazing-angle splats reach |qb|/sqrt(qa*qc) within 1e-7 of 1; naive
+    bf16 rounding of (qa, qb, qc) tips ~half of those quadratics
+    INDEFINITE, so the exponent GROWS along the bbox and one splat floods
+    its tiles with inf/NaN (observed: out max 1.7e38, 7240 NaN pixels).
+    The fast payload therefore packs the quadratic's Cholesky factors
+    (binning.py) — PSD under any quantization. This pins the bounded
+    behavior on the worst indefinite conic found by a 60k-point search."""
+    from gswt_renderer_tpu.ops import raster
+
+    def bf(x):
+        return np.float32(
+            jnp.asarray(np.float32(x)).astype(jnp.bfloat16).astype(jnp.float32)
+        )
+
+    rng = np.random.default_rng(7)
+    best = None
+    for _ in range(60000):
+        sig_max = np.float32(rng.uniform(200, 1024))
+        sig_min = np.float32(rng.uniform(0.45, 0.8))
+        theta = rng.uniform(0, np.pi)
+        l1 = np.float32(1.0) / (sig_max * sig_max)
+        l2 = np.float32(1.0) / (sig_min * sig_min)
+        c = np.float32(np.cos(theta))
+        s = np.float32(np.sin(theta))
+        qa = l1 * c * c + l2 * s * s
+        qc = l1 * s * s + l2 * c * c
+        qb = (l2 - l1) * s * c
+        qa2, qb2, qc2 = bf(qa), bf(qb), bf(qc)
+        eneg = (qa2 + qc2) / 2 - np.sqrt(((qa2 - qc2) / 2) ** 2 + qb2**2)
+        if eneg < 0 and (best is None or eneg < best[0]):
+            best = (float(eneg), qa, qb, qc, float(sig_max), float(s), float(c))
+    assert best is not None and best[0] < -1e-3  # raw bf16 WOULD be indefinite
+    _, qa, qb, qc, sig_max, s, c = best
+
+    w, h, tw, th, chunk = 1024, 256, 64, 32, 64
+    n = 64
+    cx = np.full(n, 100.0, np.float32)
+    cy = np.full(n, 128.0, np.float32)
+    ext = np.zeros((2, n), np.float32)
+    ext[0, 0] = 3.0 * sig_max * abs(c)
+    ext[1, 0] = 3.0 * sig_max * abs(s)
+    q = np.zeros((3, n), np.float32)
+    q[0, 0], q[1, 0], q[2, 0] = qa, qb, qc
+    q[0, 1:] = q[2, 1:] = 0.05
+    col = np.full((4, n), 0.5, np.float32)
+    z = np.linspace(0.1, 0.9, n).astype(np.float32)
+    valid = np.zeros(n, bool)
+    valid[0] = True
+    p = dict(
+        cx=jnp.asarray(cx), cy=jnp.asarray(cy),
+        ext_x=jnp.asarray(ext[0]), ext_y=jnp.asarray(ext[1]),
+        q=tuple(jnp.asarray(qi) for qi in q),
+        color=tuple(jnp.asarray(ci) for ci in col),
+        z=jnp.asarray(z), valid=jnp.asarray(valid),
+    )
+    b = binning.bin_pairs(
+        p, image_wh=(w, h), tile_wh=(tw, th), max_pairs=1 << 13,
+        chunk=chunk, exact=False,
+    )
+    ntx, nty = -(-w // tw), -(-h // th)
+    depth = np.ones((ntx * nty, tw * th), np.float32)
+    out = raster.rasterize_reference(
+        {k: np.asarray(v) for k, v in b.items()}, depth,
+        image_wh=(w, h), tile_wh=(tw, th), chunk=chunk,
+    )
+    assert np.isfinite(out).all(), f"{np.isnan(out).sum()} NaN pixels"
+    assert out.max() <= 1.0 + 1e-3, f"flooded: max {out.max():.3g}"
