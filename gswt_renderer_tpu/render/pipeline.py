@@ -121,6 +121,13 @@ class RendererConfig:
     # pixel work and worklist entry count
     proxy_tile_w: int = 64
     proxy_tile_h: int = 32
+    # render the proxy pass at (W/div, H/div) and upsample (depth/hit
+    # nearest, color bilinear). The proxy is the smooth DISTANT-terrain
+    # stand-in (proxy.rs:119-125), so halving its resolution is visually
+    # benign while its per-pixel footprint/divide work scales ~1/div^2;
+    # the depth test against splats quantizes to div-px blocks at
+    # splat/proxy silhouettes. 1 = reference-exact full resolution.
+    proxy_res_div: int = int(os.environ.get("GSWT_PROXY_RES_DIV", "1"))
     interpret: bool | None = None  # None = auto (interpret off on TPU)
     # exact=True follows the WGSL/oracle math ALGEBRAICALLY (the ln-alpha
     # exponent fold and per-tile recentering change f32 rounding, so it is
@@ -635,13 +642,29 @@ class Renderer:
                 # (it returns a full-image depth buffer, re-tiled below to
                 # the splat grid) — fine splat tiles would otherwise
                 # multiply the proxy worklist 4-8x for no benefit
+                div = max(int(c.proxy_res_div), 1)
+                p_wh = (-(-c.width // div), -(-c.height // div))
                 pcol, depth, hit, paux = render_proxy(
-                    cam, scene, image_wh, hm4, self.height_map_wh,
+                    cam, scene, p_wh, hm4, self.height_map_wh,
                     proxy_tex, self.proxy_wh, surface_type=surface_type,
                     mip_meta=mip_meta,
                     tile_wh=(c.proxy_tile_w, c.proxy_tile_h), chunk=128,
                     interpret=c.interpret, proxy_pairs=proxy_pairs, **popts,
                 )
+                if div > 1:
+                    # depth/hit upsample NEAREST (bilinear would blend
+                    # across silhouettes and fabricate halo depths);
+                    # color bilinear for smooth shading
+                    def up_near(x):
+                        x = jnp.repeat(jnp.repeat(x, div, 0), div, 1)
+                        return x[: c.height, : c.width]
+
+                    depth = up_near(depth)
+                    hit = up_near(hit)
+                    pcol = jax.image.resize(
+                        pcol, (p_wh[1] * div, p_wh[0] * div, pcol.shape[-1]),
+                        method="linear",
+                    )[: c.height, : c.width]
                 bg = jnp.where(hit[..., None], pcol, bg)
             else:
                 depth = jnp.ones((c.height, c.width), jnp.float32)

@@ -331,3 +331,55 @@ def test_scan_weight_impls_agree():
                                        err_msg=name)
             np.testing.assert_allclose(np.asarray(tn), t_incl[-1:],
                                        atol=1e-5, err_msg=name)
+
+
+def test_proxy_res_div_parity():
+    """proxy_res_div=2 renders the proxy at half resolution and upsamples
+    (depth/hit nearest, color bilinear): the composited frame must stay
+    close to the full-res one — the proxy is the smooth distant-terrain
+    background — and the depth-test interaction must stay sane (finite
+    image, similar coverage)."""
+    from gswt_renderer_tpu.core import UserData
+    from gswt_renderer_tpu.core.config import SurfaceType
+    from gswt_renderer_tpu.engine import Engine
+    from gswt_renderer_tpu.io.synth import synthetic_scene_vec
+    from gswt_renderer_tpu.render.pipeline import RendererConfig
+
+    sv = synthetic_scene_vec(n_lod=2, splats_per_tile=48)
+    sky = np.clip(
+        np.linspace(0, 2, 16)[:, None, None] * np.ones((16, 32, 3), np.float32),
+        0, 2)
+    checker = np.kron(np.indices((8, 8)).sum(0) % 2,
+                      np.ones((4, 4))).astype(np.float32)
+    tex = np.stack([checker * 0.8 + 0.1, checker * 0.5 + 0.2,
+                    checker * 0.3 + 0.1], axis=-1)
+    imgs = {}
+    for div in (1, 2):
+        eng = Engine(
+            sv, viewport=(96, 64),
+            renderer_config=RendererConfig(
+                width=96, height=64, max_draws=64, max_stream=1 << 13,
+                min_stream=1 << 11, chunk=128, proxy_res_div=div,
+                proxy_tile_w=32, proxy_tile_h=16,
+            ),
+            synchronous=True,
+        )
+        eng.set_skybox(sky, equirect=True)
+        eng.set_proxy(tex)
+        eng.configure(UserData.from_ui(
+            tile_map_half_wh=(2, 2), height_map_scale=(1.0, 0.2),
+            height_map_wh=(4, 4), lod_max_dist=8.0,
+            surface_type=SurfaceType.HEIGHT_MAP,
+        ))
+        assert eng.wait_ready(timeout_s=300)
+        eng.camera.translate(np.array([0.0, 1.0, 1.5], np.float32))
+        imgs[div] = np.asarray(eng.frame())
+        eng.shutdown()
+    a, b = imgs[1], imgs[2]
+    assert np.isfinite(b).all()
+    # composited frames stay close: the half-res proxy differs only on
+    # upsample fringes and div-px silhouette quantization
+    assert np.abs(a - b).mean() < 0.02, np.abs(a - b).mean()
+    cov_a = a[..., 3] > 0.02
+    cov_b = b[..., 3] > 0.02
+    assert (cov_a != cov_b).mean() < 0.05
