@@ -5,8 +5,9 @@
 2. 4x4 procedurally tiled terrain, no merging/LOD, 800x600 fly-through
 3. infinite terrain + procedural tiling + selective merging, 1080p
 4. full paper config: LOD blending + skybox + proxy, 1080p
-5. batched 64-camera rendering (camera-parallel; on 1 chip this measures
-   per-camera throughput of the batched path)
+5. batched-camera rendering (camera-parallel; BASELINE.md's 64-camera row
+   is a v5e-8 stretch goal — on 1 chip this measures per-camera
+   throughput of the same batched path at 16 cameras)
 
 Run: python benchmarks/configs.py [--quick]
 Prints one JSON line per config.
