@@ -65,7 +65,7 @@ def main():
     img_f = np.asarray(jax.device_get(
         jax.jit(lambda b, d: render(b, d, False))(binned, depth)))
     err = np.abs(img_e - img_f).max()
-    print(f"fast-vs-exact max abs err: {err:.3e} (budget ~2e-3 = 0.5/255)")
+    print(f"fast-vs-exact max abs err: {err:.3e} (pipeline budget: max 8/255, see tests/test_fastmode.py)")
 
 
 if __name__ == "__main__":

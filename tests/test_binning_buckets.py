@@ -243,9 +243,14 @@ def test_unpacked_two_key_sort_matches_enumeration():
 def test_cull_exact_pixel_identical(exact):
     """The exact ellipse-tile cull (bin_pairs cull_exact) removes only
     pairs whose quadratic cannot reach the exp(-4) cutoff at any pixel
-    center of their tile, so the rasterized image must be IDENTICAL and
-    the worklist strictly no larger. The synthetic stream's random ext
-    values overshoot the ellipse, so a real cull fraction is exercised."""
+    center of their tile, so the rasterized image must be identical up
+    to f32 re-association: culled entries contribute exactly-zero weight
+    (t == 1.0 multiplies are exact), but removing them shifts the
+    blocked transmittance scan's group boundaries, so the surviving
+    products associate differently (measured <= 3e-6 with the diff scan
+    impl). The worklist must be strictly no larger. The synthetic
+    stream's random ext values overshoot the ellipse, so a real cull
+    fraction is exercised."""
     from gswt_renderer_tpu.ops import raster
 
     p = _proj(4096, seed=3)
@@ -269,7 +274,7 @@ def test_cull_exact_pixel_identical(exact):
     out_c = np.asarray(raster.rasterize_pallas(
         cull, depth, image_wh=image_wh, tile_wh=tile_wh, chunk=chunk,
         interpret=True, exact=True, use_depth=False))
-    np.testing.assert_allclose(out_c, out_b, atol=1e-6)
+    np.testing.assert_allclose(out_c, out_b, atol=1e-5)
 
 
 def test_fast_quantization_keeps_degenerate_quadratics_psd():
