@@ -49,9 +49,11 @@ MIN_T = 0.5 / 255.0  # early-exit transmittance (below ROP quantization)
 #   fold   — t_excl recovered as t_incl / t (clamped), no shift passes
 #   diff   — weight = T_excl - T_incl exactly; saves the seed concat and
 #            the weight multiply. On-chip A/B at 17k entries (fast
-#            profile): diff 57.5 ms, roll 62.1, concat 63.3, fold 70.5 —
-#            diff is the default
-_SCAN_IMPL = os.environ.get("GSWT_SCAN_IMPL", "diff")
+#            profile): diff 57.5 ms, roll 62.1, concat 63.3, fold 70.5
+#   diffroll — diff's weight identity + roll's pltpu.roll shifts; the two
+#            wins composed. Same-session A/B: diffroll 60.9 vs diff 62.1
+#            ms — the default
+_SCAN_IMPL = os.environ.get("GSWT_SCAN_IMPL", "diffroll")
 
 
 def _pixel_features(tw, th):
