@@ -270,6 +270,47 @@ def _scan_weights_diffroll(gmat, t_carry, group: int = 32):
     return t_excl - t_incl, jax.lax.slice(t_incl, (c - 1, 0), (c, p))
 
 
+def _tree_cumprod(t, t_carry):
+    """Carry-seeded inclusive cumprod via a work-efficient contraction
+    tree (Blelloch in multiplicative form). Hillis-Steele touches the
+    FULL (C,P) array log2(C) times (each step: shift + mask + multiply at
+    8G lanes/frame); the contraction tree halves the operand at every
+    level — up-sweep total work = C-1 multiplies ~= ONE full-size pass,
+    down-sweep ~= 3 (shift-concat, multiply, interleave) — so the whole
+    scan is ~4-6 full-pass equivalents instead of ~15. Requires C a power
+    of two (chunk is); levels below 8 sublanes pad to (8,128) tiles but
+    are tiny. Returns t_incl (C,P) = t_carry * prod_{j<=i} t[j]."""
+    c, p = t.shape
+
+    def rec(y, seed):
+        k = y.shape[0]
+        if k == 1:
+            return y * seed
+        a = jax.lax.slice(y.reshape(k // 2, 2, p), (0, 0, 0),
+                          (k // 2, 1, p)).reshape(k // 2, p)
+        b = jax.lax.slice(y.reshape(k // 2, 2, p), (0, 1, 0),
+                          (k // 2, 2, p)).reshape(k // 2, p)
+        s = rec(a * b, seed)  # (k/2, P) inclusive over pairs, seeded
+        even = jnp.concatenate([seed, s[:-1]], axis=0) * a
+        return jnp.stack([even, s], axis=1).reshape(k, p)
+
+    return rec(t, t_carry)
+
+
+def _scan_weights_tree(gmat, t_carry):
+    """diff's weight identity (weight = T_excl - T_incl) on the
+    contraction-tree cumprod. Falls back to diffroll when the chunk is
+    not a power of two."""
+    c, p = gmat.shape
+    if c & (c - 1):
+        return _scan_weights_diffroll(gmat, t_carry)
+    t_incl = _tree_cumprod(1.0 - gmat, t_carry)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (c, p), 0)
+    t_excl = pltpu.roll(t_incl, 1, axis=0)
+    t_excl = jnp.where(rows == 0, t_carry, t_excl)
+    return t_excl - t_incl, jax.lax.slice(t_incl, (c - 1, 0), (c, p))
+
+
 def _scan_weights(gmat, t_carry):
     """(weight, t_next) for the carry-seeded transmittance compositor."""
     if _SCAN_IMPL == "roll":
@@ -280,6 +321,8 @@ def _scan_weights(gmat, t_carry):
         return _scan_weights_diff(gmat, t_carry)
     elif _SCAN_IMPL == "diffroll":
         return _scan_weights_diffroll(gmat, t_carry)
+    elif _SCAN_IMPL == "tree":
+        return _scan_weights_tree(gmat, t_carry)
     else:
         t_incl, t_excl = _scan_weights_concat(gmat, t_carry)
     return gmat * t_excl, t_incl[-1:, :]

@@ -326,6 +326,7 @@ def test_scan_weight_impls_agree():
             "fold": lambda: raster._scan_weights_fold(gj, cj),
             "diff": lambda: raster._scan_weights_diff(gj, cj),
             "diffroll": lambda: raster._scan_weights_diffroll(gj, cj),
+            "tree": lambda: raster._scan_weights_tree(gj, cj),
         }.items():
             w, tn = jax.jit(f)()
             np.testing.assert_allclose(np.asarray(w), w_ref, atol=1e-4,
