@@ -291,7 +291,11 @@ def _tree_cumprod(t, t_carry):
         b = jax.lax.slice(y.reshape(k // 2, 2, p), (0, 1, 0),
                           (k // 2, 2, p)).reshape(k // 2, p)
         s = rec(a * b, seed)  # (k/2, P) inclusive over pairs, seeded
-        even = jnp.concatenate([seed, s[:-1]], axis=0) * a
+        if k == 2:  # s[:-1] would be a zero-size slice (Mosaic rejects it)
+            even = seed * a
+        else:
+            s_hi = jax.lax.slice(s, (0, 0), (k // 2 - 1, p))
+            even = jnp.concatenate([seed, s_hi], axis=0) * a
         return jnp.stack([even, s], axis=1).reshape(k, p)
 
     return rec(t, t_carry)
