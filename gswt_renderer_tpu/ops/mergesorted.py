@@ -111,8 +111,13 @@ def _merge_kernel(splits, ta_ref, fb_ref, out_ref, va_ref, sem_a, sem_b,
         partner = jnp.where(in_lo, fwd, bwd)
         skey = _ikey(w[0:1, :])
         pkey = _ikey(partner[0:1, :])
-        # min lands at the low side of each pair -> ascending output
-        take = jnp.where(in_lo[0:1, :], pkey < skey, pkey > skey)
+        # min lands at the low side of each pair -> ascending output.
+        # (1,n2) mask built from its own iota, combined with AND/OR:
+        # select_n on bool operands (and slicing a bool vector) both emit
+        # an i8->i1 trunci Mosaic cannot lower.
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, n2), 1)
+        in_lo1 = (lane1 & d) == 0
+        take = (in_lo1 & (pkey < skey)) | (~in_lo1 & (pkey > skey))
         w = jnp.where(take, partner, w)
         d //= 2
     out_ref[:] = w[:, :block]
@@ -123,8 +128,17 @@ def merge_sorted_pair(ta, tb, *, block: int = 2048, interpret: bool = False):
     to f32, ascending, unique across both; INT32_MAX reserved). Returns
     [R, No] with No = Na + Nb rounded up to `block` (tail = sentinel
     columns; key row stays the bitcast key)."""
-    n_rows, na = ta.shape
+    n_rows_out, na = ta.shape
     nb = tb.shape[1]
+    # raw DMA slices need the row dim aligned to the (8,128) tile: pad
+    # payload rows with zeros, slice back after the kernel
+    r_pad = (-n_rows_out) % 8
+    if r_pad:
+        ta = jnp.concatenate(
+            [ta, jnp.zeros((r_pad, na), jnp.float32)], axis=0)
+        tb = jnp.concatenate(
+            [tb, jnp.zeros((r_pad, nb), jnp.float32)], axis=0)
+    n_rows = n_rows_out + r_pad
     no = -(-(na + nb) // block) * block
     pad_a = no - na - nb  # content padding (sentinel keys sort last)
 
@@ -170,12 +184,13 @@ def merge_sorted_pair(ta, tb, *, block: int = 2048, interpret: bool = False):
             pltpu.SemaphoreType.DMA,
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_rows, no), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(splits, ta_p, fb)
+    return out[:n_rows_out] if r_pad else out
 
 
 def merge_sorted(tables, *, block: int = 2048, interpret: bool = False):

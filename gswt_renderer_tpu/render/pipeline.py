@@ -112,9 +112,10 @@ class RendererConfig:
     # masks bbox pairs whose quadratic cannot reach the exp(-4) cutoff at
     # any pixel center of their tile — bit-safe (the kernel zeroes those
     # fragments anyway), shrinks raster worklists by the bbox-vs-ellipse
-    # waste (~4.5% at 64x32 tiles, grows as tiles shrink). Off by default
-    # pending an on-chip A/B (GSWT_CULL_EXACT=1 flips it).
-    cull_exact: bool = os.environ.get("GSWT_CULL_EXACT", "0") == "1"
+    # waste (~4.5% at 64x32 tiles, grows as tiles shrink). On by default:
+    # the r3 on-chip sweep measured 126.9 vs 129.3/130.7 ms same-session
+    # on the 1080p full config (GSWT_CULL_EXACT=0 reverts).
+    cull_exact: bool = os.environ.get("GSWT_CULL_EXACT", "1") == "1"
     # the proxy triangle raster's tile grid is independent of the splat
     # grid (its full-image depth output is re-tiled to the splat grid by
     # image_to_depth_tiles); 64x32 won its own trade between per-entry
@@ -126,8 +127,10 @@ class RendererConfig:
     # stand-in (proxy.rs:119-125), so halving its resolution is visually
     # benign while its per-pixel footprint/divide work scales ~1/div^2;
     # the depth test against splats quantizes to div-px blocks at
-    # splat/proxy silhouettes. 1 = reference-exact full resolution.
-    proxy_res_div: int = int(os.environ.get("GSWT_PROXY_RES_DIV", "1"))
+    # splat/proxy silhouettes. 1 = reference-exact full resolution;
+    # 0 = auto: 1 in the exact profile, 2 in the fast profile (on-chip
+    # A/B: full-config frame 129.0 -> 118.2 ms same-session).
+    proxy_res_div: int = int(os.environ.get("GSWT_PROXY_RES_DIV", "0"))
     interpret: bool | None = None  # None = auto (interpret off on TPU)
     # exact=True follows the WGSL/oracle math ALGEBRAICALLY (the ln-alpha
     # exponent fold and per-tile recentering change f32 rounding, so it is
@@ -642,7 +645,9 @@ class Renderer:
                 # (it returns a full-image depth buffer, re-tiled below to
                 # the splat grid) — fine splat tiles would otherwise
                 # multiply the proxy worklist 4-8x for no benefit
-                div = max(int(c.proxy_res_div), 1)
+                div = int(c.proxy_res_div)
+                if div <= 0:  # auto: reference-exact res in exact profile
+                    div = 1 if c.exact else 2
                 p_wh = (-(-c.width // div), -(-c.height // div))
                 pcol, depth, hit, paux = render_proxy(
                     cam, scene, p_wh, hm4, self.height_map_wh,
