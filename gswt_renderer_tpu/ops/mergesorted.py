@@ -17,10 +17,13 @@ Two pieces:
 - merge_sorted_pair: a Pallas kernel; each grid step DMAs one ascending
   A-window and one descending B-window (B is pre-flipped once at the XLA
   level, so the descending window is a contiguous slice) into VMEM,
-  bitonic-merges the concatenation in log2(2*block) compare-exchange
-  passes (pltpu.roll pairing, payload rows swap with the keys), and
-  writes the smallest `block` lanes as the output block. The merge-path
-  split guarantees those lanes are exactly the output block's elements.
+  bitonic-merges the concatenation in log2(n2) compare-exchange passes
+  (pltpu.roll pairing, payload rows swap with the keys), and writes the
+  output block's lanes. Mosaic requires DMA lane offsets provably
+  128-aligned while merge-path splits are data-dependent, so windows are
+  floor-aligned to 128 and widened by 128 (the <= 127 pre-consumed lanes
+  per side sort FIRST — they rank before the block — and a dynamic
+  rotate by their count excises the true output block).
 
 Keys must be UNIQUE across both inputs (binning's (tile, slot) packing
 is): ties would need a stability rule the comparator does not implement.
@@ -30,6 +33,7 @@ INT32_MAX is reserved as the padding sentinel.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -81,29 +85,41 @@ def merge_path_splits(ka, kb, *, block: int, n_blocks: int):
     return lo
 
 
-def _merge_kernel(splits, ta_ref, fb_ref, out_ref, va_ref, sem_a, sem_b,
-                  *, block: int, n_rows: int, nb: int):
+def _merge_kernel(sched, ta_ref, fb_ref, out_ref, va_ref, sem_a, sem_b,
+                  *, block: int, w_win: int, n2: int, n_rows: int):
+    """sched rows (host-precomputed, see merge_sorted_pair): 0 = A-window
+    start / 128, 1 = B-window start in fb / 128, 2 = rot = (#pre-consumed
+    lanes in the two windows). Mosaic requires DMA lane offsets PROVABLY
+    128-aligned, but merge-path splits are data-dependent — so the windows
+    are floor-aligned to 128 (width block+128 covers the overhang) and the
+    output is excised from the sorted window by a dynamic rotate."""
     g = pl.program_id(0)
-    ia0 = splits[g]
-    ib0 = g * block - ia0
 
-    # A-window ascending at ia0; B-window descending = contiguous slice of
-    # the front-padded flipped array at (nb - ib0)
+    @pl.when(g == 0)
+    def _():
+        # middle gap (present when 2*(block+128) is not a power of two)
+        # holds +inf keys: [A asc | +inf | B desc] stays bitonic and the
+        # gap sorts past every real lane. A/B regions are overwritten by
+        # the DMAs below every step; the gap only needs writing once.
+        va_ref[:] = jnp.broadcast_to(
+            jax.lax.bitcast_convert_type(
+                jnp.full((1, 1), SENTINEL, jnp.int32), jnp.float32),
+            (n_rows, n2))
+
     cp_a = pltpu.make_async_copy(
-        ta_ref.at[:, pl.ds(ia0, block)],
-        va_ref.at[:, pl.ds(0, block)], sem_a)
+        ta_ref.at[:, pl.ds(sched[0, g] * 128, w_win)],
+        va_ref.at[:, pl.ds(0, w_win)], sem_a)
     cp_b = pltpu.make_async_copy(
-        fb_ref.at[:, pl.ds(nb - ib0, block)],
-        va_ref.at[:, pl.ds(block, block)], sem_b)
+        fb_ref.at[:, pl.ds(sched[1, g] * 128, w_win)],
+        va_ref.at[:, pl.ds(n2 - w_win, w_win)], sem_b)
     cp_a.start()
     cp_b.start()
     cp_a.wait()
     cp_b.wait()
 
-    w = va_ref[:]  # (n_rows, 2*block): ascending | descending = bitonic
-    n2 = 2 * block
+    w = va_ref[:]  # (n_rows, n2): ascending | +inf | descending = bitonic
     lane = jax.lax.broadcasted_iota(jnp.int32, (n_rows, n2), 1)
-    d = block
+    d = n2 // 2
     while d >= 1:
         fwd = pltpu.roll(w, n2 - d, axis=1)  # partner at i + d (mod n2)
         bwd = pltpu.roll(w, d, axis=1)       # partner at i - d
@@ -120,14 +136,23 @@ def _merge_kernel(splits, ta_ref, fb_ref, out_ref, va_ref, sem_a, sem_b,
         take = (in_lo1 & (pkey < skey)) | (~in_lo1 & (pkey > skey))
         w = jnp.where(take, partner, w)
         d //= 2
+    # lanes [0, rot) are the windows' pre-consumed elements (they rank
+    # before this output block and sort first); rotate them out
+    rot = sched[2, g]
+    w = pltpu.roll(w, jnp.where(rot == 0, 0, n2 - rot), axis=1)
     out_ref[:] = w[:, :block]
 
 
-def merge_sorted_pair(ta, tb, *, block: int = 2048, interpret: bool = False):
+def merge_sorted_pair(ta, tb, *, block: int = 1920, interpret: bool = False):
     """Merge two sorted tables [R, Na] / [R, Nb] (row 0 = i32 keys bitcast
     to f32, ascending, unique across both; INT32_MAX reserved). Returns
     [R, No] with No = Na + Nb rounded up to `block` (tail = sentinel
-    columns; key row stays the bitcast key)."""
+    columns; key row stays the bitcast key).
+
+    block must be a multiple of 128. The kernel's bitonic window is
+    next_pow2(2*(block+128)) wide — block = 2^k - 128 (default 1920)
+    makes the window exactly 2^(k+1) with no sentinel gap."""
+    assert block % 128 == 0, "DMA windows are 128-lane aligned"
     n_rows_out, na = ta.shape
     nb = tb.shape[1]
     # raw DMA slices need the row dim aligned to the (8,128) tile: pad
@@ -141,6 +166,8 @@ def merge_sorted_pair(ta, tb, *, block: int = 2048, interpret: bool = False):
     n_rows = n_rows_out + r_pad
     no = -(-(na + nb) // block) * block
     pad_a = no - na - nb  # content padding (sentinel keys sort last)
+    w_win = block + 128  # window width: block + floor-alignment overhang
+    n2 = 1 << int(math.ceil(math.log2(2 * w_win)))
 
     def pad_cols(t, n, where_front=False):
         if n == 0:
@@ -154,20 +181,33 @@ def merge_sorted_pair(ta, tb, *, block: int = 2048, interpret: bool = False):
         return (jnp.concatenate([blkf, t], axis=1) if where_front
                 else jnp.concatenate([t, blkf], axis=1))
 
-    ta_p = pad_cols(ta, pad_a + block)  # content pad + window overrun pad
+    ta_p = pad_cols(ta, pad_a + w_win)  # content pad + window overrun pad
     na_c = na + pad_a
-    # flipped B with a sentinel FRONT pad: descending windows stay
-    # contiguous and a window reaching past B's start reads +inf lanes,
-    # which sit at the front of a descending window as required
-    fb = pad_cols(jnp.flip(tb, axis=1), block, where_front=True)
+    # flipped B with a sentinel FRONT pad sized so every aligned window
+    # start stays >= 0 AND (f_pad + nb - w_win) is 128-divisible (the
+    # kernel's B offsets are (obase - b0/128)*128): a window reaching past
+    # B's start reads +inf lanes, which sit at the front of a descending
+    # window as required
+    f_pad = w_win + ((-nb) % 128)
+    fb = pad_cols(jnp.flip(tb, axis=1), f_pad, where_front=True)
 
     ka = _ikey(ta_p[0, :na_c])
     kb = _ikey(tb[0])
     n_blocks = no // block
     splits = merge_path_splits(ka, kb, block=block, n_blocks=n_blocks)
 
+    # per-block schedule: floor-128-aligned window starts + the rotation
+    # that excises the output from the sorted window (see _merge_kernel)
+    m = jnp.arange(n_blocks, dtype=jnp.int32) * block
+    ib0 = m - splits
+    a0b = splits // 128
+    b0b = ib0 // 128
+    obase = (f_pad + nb - w_win) // 128
+    sched = jnp.stack(
+        [a0b, obase - b0b, (splits - a0b * 128) + (ib0 - b0b * 128)], axis=0)
+
     kernel = functools.partial(
-        _merge_kernel, block=block, n_rows=n_rows, nb=nb)
+        _merge_kernel, block=block, w_win=w_win, n2=n2, n_rows=n_rows)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks,),
@@ -176,10 +216,10 @@ def merge_sorted_pair(ta, tb, *, block: int = 2048, interpret: bool = False):
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (n_rows, block), lambda g, splits: (0, g),
+            (n_rows, block), lambda g, sched: (0, g),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((n_rows, 2 * block), jnp.float32),
+            pltpu.VMEM((n_rows, n2), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -189,11 +229,11 @@ def merge_sorted_pair(ta, tb, *, block: int = 2048, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((n_rows, no), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(splits, ta_p, fb)
+    )(sched, ta_p, fb)
     return out[:n_rows_out] if r_pad else out
 
 
-def merge_sorted(tables, *, block: int = 2048, interpret: bool = False):
+def merge_sorted(tables, *, block: int = 1920, interpret: bool = False):
     """Tournament merge of k sorted tables (pairwise rounds, largest pair
     first keeps rounds balanced). Returns [R, No]."""
     seqs = list(tables)

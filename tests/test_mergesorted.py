@@ -81,6 +81,20 @@ def test_merge_pair_negative_keys():
     _check_merged(out, keys)
 
 
+def test_merge_pair_gap_free_window():
+    """block=128 -> window 2*(128+128) = 512 is exactly a power of two:
+    the kernel's sentinel middle gap is empty (the production block=1920
+    shape), so the rotate-excision path is exercised without the gap."""
+    rng = np.random.default_rng(77)
+    keys = rng.choice(np.int64(1) << 30, size=1500, replace=False)
+    keys = keys.astype(np.int32)
+    a = np.sort(keys[:640])
+    b = np.sort(keys[640:])
+    out = ms.merge_sorted_pair(_table(a), _table(b), block=128,
+                               interpret=True)
+    _check_merged(out, keys)
+
+
 @pytest.mark.parametrize("k", [3, 5])
 def test_merge_tournament(k):
     rng = np.random.default_rng(k)
