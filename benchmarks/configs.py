@@ -165,8 +165,14 @@ def main():
         merge_dot_threshold=0.2, merge_topk=100,
     )
     eng.set_skybox(sky, equirect=True)
+    eng.set_proxy(np.stack(
+        [checker * 0.8 + 0.1, checker * 0.5 + 0.2, checker * 0.3 + 0.1],
+        axis=-1,
+    ))
+    eng.use_proxy = True
     ms, k, dropped = _time_frames(eng, moves)
-    emit("4b_full_skybox_4k", ms, {"frames": k, "stall_discards": dropped})
+    emit("4b_full_skybox_proxy_4k", ms,
+         {"frames": k, "stall_discards": dropped})
 
     # config 5: batched cameras (camera-parallel path on the local mesh)
     import jax
