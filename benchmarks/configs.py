@@ -174,7 +174,18 @@ def main():
     emit("4b_full_skybox_proxy_4k", ms,
          {"frames": k, "stall_discards": dropped})
 
-    # config 5: batched cameras (camera-parallel path on the local mesh)
+    # config 5: batched cameras (camera-parallel path on the local mesh).
+    # Needs its own 1080p engine — the raster grid comes from the
+    # renderer's RendererConfig, not the cameras' viewport, so reusing the
+    # 4b engine here would silently measure 4K frames under a 1080p label
+    # (it did until 2026-08-18).
+    eng.shutdown()
+    eng = _mk_engine(
+        (1920, 1080), tile_map_half_wh=(48, 48),
+        surface_type=SurfaceType.HEIGHT_MAP, height_map_wh=(10, 10),
+        height_map_scale=(1.0, 0.3), lod_max_dist=96.0,
+        merge_dot_threshold=0.2, merge_topk=100,
+    )
     import jax
     import jax.numpy as jnp
 
