@@ -1,4 +1,4 @@
-"""Pallas merge of pre-sorted key+payload tables.
+"""Pallas merge of pre-sorted key+payload tables (PARKED in benchmarks/).
 
 Binning's joint pair sort (ops/binning.py) pays XLA's full bitonic-sort
 cost (~O(n log^2 n) compare passes) on a domain where MOST of the order is

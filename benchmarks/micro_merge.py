@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""A/B the Pallas sorted-merge (ops/mergesorted.py) against lax.sort at
+"""A/B the Pallas sorted-merge (benchmarks/mergesorted.py) against lax.sort at
 binning scale: k pre-sorted sequences of (key + R payload rows), total n
 lanes — the shape of the pair-table ordering problem once the splat-level
 sort makes every elementwise path's keys ascending (see mergesorted.py).
@@ -22,7 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-from gswt_renderer_tpu.ops import mergesorted as ms  # noqa: E402
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import mergesorted as ms  # noqa: E402
 
 
 def main():

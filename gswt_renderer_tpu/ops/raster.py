@@ -237,7 +237,14 @@ def _scan_weights_diffroll(gmat, t_carry, group: int = 32):
     """diff's weight identity (weight = T_excl - T_incl, no seed concat,
     no weight multiply) with roll's shift form (pltpu.roll sublane
     rotations instead of materializing concatenates) — the two
-    individually-measured wins composed."""
+    individually-measured wins composed.
+
+    Rounding bound: T_excl and T_incl come from DIFFERENT f32 association
+    chains at group-boundary rows (T_excl is the rolled previous-row
+    inclusive product, T_incl the group-seeded one), so the difference can
+    go ~1-ulp negative (~1e-7) where roll's g*T_excl form was >= 0 by
+    construction. Negligible against the fast profile's 8/255 budget and
+    not clamped (a jnp.maximum would add a full (C,P) VPU pass)."""
     c, p = gmat.shape
     t = 1.0 - gmat
     rows = jax.lax.broadcasted_iota(jnp.int32, (c, p), 0)

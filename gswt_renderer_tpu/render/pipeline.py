@@ -110,9 +110,12 @@ class RendererConfig:
     elem_paths: int = 4
     # exact ellipse-tile pair cull (ops/binning.py _cull_pair_tiles):
     # masks bbox pairs whose quadratic cannot reach the exp(-4) cutoff at
-    # any pixel center of their tile — bit-safe (the kernel zeroes those
-    # fragments anyway), shrinks raster worklists by the bbox-vs-ellipse
-    # waste (~4.5% at 64x32 tiles, grows as tiles shrink). On by default:
+    # any pixel center of their tile — value-safe up to f32 re-association
+    # (the kernel zeroes those fragments anyway, but removing them moves
+    # the blocked scan's group boundaries: <=3e-6 image shifts, see
+    # tests/test_binning_buckets.py), shrinks raster worklists by the
+    # bbox-vs-ellipse waste (~4.5% at 64x32 tiles, grows as tiles shrink).
+    # On by default:
     # the r3 on-chip sweep measured 126.9 vs 129.3/130.7 ms same-session
     # on the 1080p full config (GSWT_CULL_EXACT=0 reverts).
     cull_exact: bool = os.environ.get("GSWT_CULL_EXACT", "1") == "1"

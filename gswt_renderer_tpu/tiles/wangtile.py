@@ -8,10 +8,13 @@ exactly as the reference runs its worker thread, while all per-splat render
 work happens on the TPU.
 
 RNG contract: the reference spawns tiles with StdRng::seed_from_u64(0) and
-draw-order-dependent sampling (wangtile.rs:1746-1752). Replicating Rust's
-StdRng bit stream is not a goal; we use numpy's default_rng(0) with the same
-draw order (edge-color draws as needed + 1 center draw per spawned tile),
-yielding a deterministic, documented tile-id sequence of our own.
+draw-order-dependent sampling (wangtile.rs:1746-1752). Both modes are
+supported via UserData.rng_mode (PARITY.md #1, closed in round 3):
+"stdrng" selects the bit-level rand-0.9 StdRng emulation in core/stdrng.py
+(SplitMix64 seed expansion + ChaCha12 + Canon's-method random_range),
+golden-pinned in tests/test_stdrng.py; the default "numpy" uses numpy's
+default_rng(0) with the same draw order (edge-color draws as needed +
+1 center draw per spawned tile) — same spawn distribution, faster host path.
 
 Sphere-seam note: the reference copies corner frames from already-spawned
 neighbors (wangtile.rs:1623-1652) so tiles across the 5x2 sphere block seams
