@@ -240,6 +240,47 @@ def _rect_min_q(qa, qb, qc, lx0, lx1, ly0, ly1):
 _CULL_MARGIN = 0.05
 
 
+# largest (static) lane count at which jnp.take beats the one-hot matmul
+# for the tiny zimg table: measured on-chip 2026-08-19
+# (benchmarks/micro_occlookup.py) — take runs ~0.1 ns/lane at <= 512Ki
+# lanes but falls to the ~6 ns/lane HBM gather rate at >= 1M, while the
+# factored one-hot is flat ~1.7-2.3 ms at every size
+_OCC_TAKE_MAX = 1 << 19
+
+
+def _zmax_lookup(tx, ty, zimg):
+    """Per-lane lookup of zimg[ty, tx] ([nty, ntx] f32). Out-of-range
+    ty/tx (dead lanes) return 0.0 (matching jnp.take's clip only at the
+    one-hot path; callers only use the value for lanes they keep or that
+    are already dead).
+
+    Large domains avoid the element gather: one-hot(ty) @ zimg on the MXU
+    selects the row EXACTLY (one-hot rows make the f32 matmul a copy),
+    then a masked reduce selects the column — flat ~2 ms at the 3-4M-lane
+    binning domains where a gather costs ~20 ms. Small domains use the
+    plain take (see _OCC_TAKE_MAX)."""
+    nty, ntx = zimg.shape
+    if tx.shape[0] <= _OCC_TAKE_MAX:
+        t = jnp.clip(ty, 0, nty - 1) * ntx + jnp.clip(tx, 0, ntx - 1)
+        inb = (ty >= 0) & (ty < nty) & (tx >= 0) & (tx < ntx)
+        return jnp.where(inb, jnp.take(zimg.reshape(-1), t), 0.0)
+    oy = (ty[:, None] == jnp.arange(nty, dtype=jnp.int32)[None, :])
+    row = oy.astype(jnp.float32) @ zimg  # [L, ntx]
+    sel = tx[:, None] == jnp.arange(ntx, dtype=jnp.int32)[None, :]
+    return jnp.sum(jnp.where(sel, row, 0.0), axis=1)
+
+
+def _dilate_max2(zimg):
+    """2x2 max-window image: out[y, x] = max of zimg over
+    {y, y+1} x {x, x+1} (clipped at the grid edge). A splat whose CLIPPED
+    tile bbox is <= 2x2 starting at (x0, y0) has its whole bbox inside
+    that window, so one lookup conservatively bounds the bbox max."""
+    z1 = jnp.maximum(zimg[:, :-1], zimg[:, 1:])
+    zx = jnp.concatenate([z1, zimg[:, -1:]], axis=1)
+    z2 = jnp.maximum(zx[:-1, :], zx[1:, :])
+    return jnp.concatenate([z2, zx[-1:, :]], axis=0)
+
+
 def _cull_pair_tiles(tiles, cx, cy, qa, qb, qc, *, ntx, n_tiles, tile_wh):
     """Exact ellipse-tile cull: remap pairs whose quadratic cannot reach
     the exp(-4) discard threshold at ANY pixel center of their tile to the
@@ -264,7 +305,7 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
               exact: bool = True, max_entries: int | None = None,
               max_live: int | None = None, elem_paths: int = 2,
               live_buckets: tuple[int, ...] | None = None,
-              cull_exact: bool = False):
+              cull_exact: bool = False, occ_zimg=None):
     """p: projection outputs (front-to-back order, S lanes). Static:
     image_wh (W,H), tile_wh (tw, th) pixels, max_pairs, chunk, exact,
     max_entries (worklist budget, see build_worklist), max_live (live-splat
@@ -303,6 +344,28 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
       entry_tf/entry_chunk/range_start/range_end [.] i32 (worklist)
       n_pairs i32 (true pair demand), n_extra i32 (k>=elem_paths demand — bucket
         max_pairs on THIS), n_live i32 (bucket max_live on THIS),
+      n_pairs_kept i32 (pairs surviving the exact-ellipse and proxy-depth
+        culls — the raster's actual pair domain),
+
+    occ_zimg (optional [nty, ntx] f32): per-raster-tile MAX of the proxy
+    depth the raster kernel tests against (pipeline computes it from
+    depth_tiles). When given, enables the PROXY-DEPTH OCCLUSION CULL — the
+    TPU equivalent of the early-z the reference gets free from the ROP
+    (renderer.rs:179-185 depth test Less + proxy.rs:119-125 depth
+    pre-pass): a pair whose kernel depth key z is >= the max proxy depth
+    anywhere in its tile fails `z < depth` at EVERY pixel
+    (ops/raster.py), so dropping it is value-safe up to the blocked
+    scan's group-boundary re-association (same contract as cull_exact).
+    Two levels, both gather-free (_zmax_lookup):
+    - splat level, BEFORE compaction: splats whose clipped bbox is <= 2x2
+      tiles test against the 2x2-dilated max image — fully occluded
+      splats leave the live stream, so every compaction bucket, sort
+      stripe, and the extras domain shrink with them (85% of full-config
+      bench pairs are occluded, benchmarks/saturation.py);
+    - pair level, per enumerated pair: the exact per-tile test for
+      whatever survives (wide splats, partial occlusion).
+    The test uses the SAME z the kernel consumes (bf16-quantized in the
+    fast profile), so cull and depth test can never disagree.
       n_live_paths [elem_paths] i32 (#splats with count>j — bucket
         live_buckets[j-1] on entries 1..), overflow bool
     """
@@ -323,6 +386,17 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
     y1 = jnp.clip(jnp.floor((cy + ey) / th).astype(jnp.int32), 0, nty - 1)
     onscreen = (cx + ex >= 0) & (cx - ex < w_img) & (cy + ey >= 0) & (cy - ey < h_img)
     ok = valid & onscreen
+    if occ_zimg is not None:
+        # kernel depth key: the fast profile's pair table carries bf16 z,
+        # so the occlusion tests quantize the same way (never disagree
+        # with the kernel's `z < depth`)
+        zk = p["z"] if exact else (
+            p["z"].astype(jnp.bfloat16).astype(jnp.float32))
+        # splat-level proxy-depth cull (see the docstring): bbox <= 2x2
+        # tiles -> one dilated-max lookup bounds the bbox max depth
+        zdil = _dilate_max2(occ_zimg)
+        small = (x1 - x0 <= 1) & (y1 - y0 <= 1)
+        ok = ok & ~(small & (zk >= _zmax_lookup(x0, y0, zdil)))
     nx = jnp.where(ok, x1 - x0 + 1, 0)
     ny = jnp.where(ok, y1 - y0 + 1, 0)
     # bbox rides the compaction sort as ONE packed i32 row: x0 | y0<<8 |
@@ -471,11 +545,25 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
             l11 * l11, l11 * l21, l21 * l21 + l22 * l22,
         )
 
+    def _pz(rows, sl):
+        """Kernel depth key from payload rows (bf16-quantized in the fast
+        profile — the same value build_pair_table row 6 will carry)."""
+        if exact:
+            return rows[5][sl]
+        return bc(bc(rows[3][sl], jnp.int32) << 16, jnp.float32)
+
     elem_tiles = []
     for j in range(elem_paths):
         b = pref[j]
-        tj = (y0c[:b] + j // nxc[:b]) * ntx + (x0c[:b] + j % nxc[:b])
-        tj = jnp.where(live[:b] & (countc[:b] >= j + 1), tj, n_tiles)
+        txj = x0c[:b] + j % nxc[:b]
+        tyj = y0c[:b] + j // nxc[:b]
+        tj = jnp.where(
+            live[:b] & (countc[:b] >= j + 1), tyj * ntx + txj, n_tiles
+        )
+        if occ_zimg is not None:
+            occ = _pz(payload_c, slice(0, b)) >= _zmax_lookup(
+                txj, tyj, occ_zimg)
+            tj = jnp.where(occ, n_tiles, tj)
         if cull_exact:
             tj = _cull_pair_tiles(
                 tj, *_cq(payload_c, slice(0, b)),
@@ -519,6 +607,11 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
     tx2 = (bb2 & 0xFF) + k2 % nx2
     ty2 = ((bb2 >> 8) & 0xFF) + k2 // nx2
     tile2 = jnp.where(live2, ty2 * ntx + tx2, n_tiles)
+    if occ_zimg is not None:
+        occ2 = _pz(
+            [g_rows[2 + i] for i in range(len(payload_c))], slice(None)
+        ) >= _zmax_lookup(tx2, ty2, occ_zimg)
+        tile2 = jnp.where(occ2, n_tiles, tile2)
     if cull_exact:
         tile2 = _cull_pair_tiles(
             tile2, *_cq([g_rows[2 + i] for i in range(len(payload_c))],
@@ -596,6 +689,9 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
         **wl,
         # true pair demand: sum(min(c, elem)) + sum(max(c-elem, 0)) = sum(c)
         n_pairs=jnp.sum(countc),
+        # pairs surviving the ellipse + proxy-depth culls = the raster's
+        # actual composited pair domain
+        n_pairs_kept=jnp.sum((tiles_all < n_tiles).astype(jnp.int32)),
         n_extra=total2,
         n_live=n_live,
         n_live_paths=n_live_paths,

@@ -119,6 +119,22 @@ class RendererConfig:
     # the r3 on-chip sweep measured 126.9 vs 129.3/130.7 ms same-session
     # on the 1080p full config (GSWT_CULL_EXACT=0 reverts).
     cull_exact: bool = os.environ.get("GSWT_CULL_EXACT", "1") == "1"
+    # proxy-depth occlusion cull (ops/binning.py occ_zimg): drops pairs
+    # whose depth key fails the raster's `z < proxy depth` test at every
+    # pixel of their tile — the TPU stand-in for the early-z the
+    # reference's ROP applies per fragment (renderer.rs:179-185 over the
+    # proxy depth pre-pass, proxy.rs:119-125). 85% of the full-config
+    # bench's pairs are occluded this way (benchmarks/saturation.py);
+    # value-safe up to the same scan-group re-association as cull_exact.
+    # Only active in use_proxy frame variants (no depth, no cull).
+    depth_cull: bool = os.environ.get("GSWT_DEPTH_CULL", "1") == "1"
+    # seed-scale for the adaptive-bucket FLOORS in depth-culled variants:
+    # the splat-level cull shrinks observed n_live/n_extra/n_entries far
+    # below the gs-only seed factors, and grow-only floors would otherwise
+    # pin the sort domains at pre-cull size forever (measured keep
+    # fraction ~0.15-0.3 of pairs; 0.45 leaves headroom, overflow retry
+    # covers the rest)
+    dc_seed_scale: float = 0.45
     # the proxy triangle raster's tile grid is independent of the splat
     # grid (its full-image depth output is re-tiled to the splat grid by
     # image_to_depth_tiles); 64x32 won its own trade between per-entry
@@ -626,15 +642,11 @@ class Renderer:
                 gs_enable=gs_enable, interpret=c.interpret,
                 exact=c.exact, hm_src=hm_src,
             )
-            binned = binning.bin_pairs(
-                p, image_wh=image_wh, tile_wh=tile_wh, max_pairs=max_pairs,
-                chunk=c.chunk, exact=c.exact, max_entries=max_entries,
-                max_live=max_live, elem_paths=c.elem_paths,
-                live_buckets=live_buckets, cull_exact=c.cull_exact,
-            )
-            binned.pop("grid_info")
 
-            # background + depth
+            # background + depth FIRST: the proxy depth feeds binning's
+            # occlusion cull (the reference's early-z equivalent —
+            # renderer.rs:179-185 tests splats against the proxy's depth
+            # pre-pass; here fully-occluded pairs leave the worklist)
             if use_skybox:
                 bg = render_skybox(cam, image_wh, skybox_tex,
                                    equirect=self.skybox_equirect)
@@ -679,9 +691,24 @@ class Renderer:
             depth_tiles = raster.image_to_depth_tiles(
                 depth, image_wh=image_wh, tile_wh=tile_wh
             )
+
+            occ_zimg = None
+            if use_proxy and c.depth_cull:
+                ntx_g = -(-c.width // c.tile_w)
+                nty_g = -(-c.height // c.tile_h)
+                occ_zimg = jnp.max(depth_tiles, axis=1).reshape(nty_g, ntx_g)
+            binned = binning.bin_pairs(
+                p, image_wh=image_wh, tile_wh=tile_wh, max_pairs=max_pairs,
+                chunk=c.chunk, exact=c.exact, max_entries=max_entries,
+                max_live=max_live, elem_paths=c.elem_paths,
+                live_buckets=live_buckets, cull_exact=c.cull_exact,
+                occ_zimg=occ_zimg,
+            )
+            binned.pop("grid_info")
             aux = dict(n_pairs=binned["n_pairs"], n_extra=binned["n_extra"],
                        n_entries=binned["n_entries"],
                        n_live=binned["n_live"],
+                       n_pairs_kept=binned["n_pairs_kept"],
                        n_live_paths=binned["n_live_paths"],
                        overflow=binned["overflow"])
             if use_proxy:
@@ -762,7 +789,7 @@ class Renderer:
             want = int(hint * 2.0)
         return _next_pow2(max(want, 1 << 12), 1 << 12, 1 << 22)
 
-    def _pairs_bucket(self, s_pad: int) -> int:
+    def _pairs_bucket(self, s_pad: int, dc: bool = False) -> int:
         """Adaptive EXTRA-pair budget (path-2 pairs of ops/binning.py; the
         first tile of every splat is budgeted by the stream itself): bucket
         on the last observed extra-pair count with headroom (overflow grows
@@ -772,7 +799,7 @@ class Renderer:
         # the seed is a session FLOOR: an interactive camera can observe a
         # low-demand frame first and would otherwise shrink the bucket,
         # paying a recompile now and another when demand grows back
-        want = int(s_pad * c.pairs_factor)
+        want = int(s_pad * c.pairs_factor * (c.dc_seed_scale if dc else 1.0))
         if hint is not None:
             # 1.5x headroom over the session max: extra-pair counts swing
             # relatively harder than total pairs; a mid-benchmark bucket
@@ -781,7 +808,7 @@ class Renderer:
         want = max(want, c.chunk)
         return _next_pow2(want, c.chunk, 1 << 24)
 
-    def _live_bucket(self, s_pad: int) -> int:
+    def _live_bucket(self, s_pad: int, dc: bool = False) -> int:
         """Adaptive live-splat compaction bucket (ops/binning.py): the
         padded stream is mostly culled splats at typical cameras, so every
         binning domain downstream of the compaction sort shrinks to this.
@@ -790,7 +817,7 @@ class Renderer:
         c = self.cfg
         hint = getattr(self, "_live_hint", None)
         # seed = session floor (see _pairs_bucket)
-        want = int(s_pad * c.live_factor)
+        want = int(s_pad * c.live_factor * (c.dc_seed_scale if dc else 1.0))
         if hint is not None:
             # live counts swing with the camera; 1.35x headroom over the
             # session max avoids mid-run bucket flips
@@ -798,7 +825,8 @@ class Renderer:
         want = max(want, c.chunk)
         return min(_next_pow2(want, c.chunk, 1 << 24), s_pad)
 
-    def _live_path_buckets(self, s_pad: int, max_live: int) -> tuple:
+    def _live_path_buckets(self, s_pad: int, max_live: int,
+                           dc: bool = False) -> tuple:
         """Per-path prefix budgets (ops/binning.py live_buckets): path j
         of the count-classed compaction reads only the splats overlapping
         more than j tiles, bucketed on the observed n_live_paths[j] with
@@ -811,14 +839,15 @@ class Renderer:
                 f = c.live_path_factors[j - 1]
             else:
                 f = c.live_factor * (0.5 ** j)
-            want = int(s_pad * f)
+            want = int(s_pad * f * (c.dc_seed_scale if dc else 1.0))
             if hints is not None and j < len(hints):
                 want = max(want, int(hints[j] * 1.35))
             want = max(want, c.chunk)
             out.append(min(_next_pow2(want, c.chunk, 1 << 24), max_live))
         return tuple(out)
 
-    def _ne_bucket(self, s_pad: int, max_pairs: int, max_live: int) -> int:
+    def _ne_bucket(self, s_pad: int, max_pairs: int, max_live: int,
+                   dc: bool = False) -> int:
         """Adaptive worklist-entry budget: every Pallas grid step costs
         ~1-2us even when dead, so the static entry count is bucketed near
         the observed per-frame entry count instead of the worst case
@@ -834,7 +863,8 @@ class Renderer:
         # estimated entry count (live pairs ~ 0.85 * s_pad at 1080p), so
         # the first frame usually lands on the converged bucket; the seed
         # is also a session FLOOR (see _pairs_bucket)
-        est = int(s_pad * 0.85) // c.chunk + n_tiles
+        est = int(s_pad * 0.85 * (c.dc_seed_scale if dc else 1.0)) \
+            // c.chunk + n_tiles
         want = int(est * 1.3) + 256
         if hint is not None:
             want = max(want, int(hint * 1.3) + 256)
@@ -981,12 +1011,15 @@ class Renderer:
                  if not self.cfg.exact else None),
                 ("proxy_pairs", self._proxy_bucket() if use_proxy else 1 << 12),
             )
-            mp = self._pairs_bucket(staged["s_pad"])
-            ml = self._live_bucket(staged["s_pad"])
+            dc = bool(
+                use_proxy and self.proxy_tex is not None and self.cfg.depth_cull
+            )
+            mp = self._pairs_bucket(staged["s_pad"], dc)
+            ml = self._live_bucket(staged["s_pad"], dc)
             key = (
                 staged["s_pad"],
                 mp,
-                self._ne_bucket(staged["s_pad"], mp, ml),
+                self._ne_bucket(staged["s_pad"], mp, ml, dc),
                 ml,
                 int(scene.surface_type),
                 int(rc.draw_mode),
@@ -994,7 +1027,7 @@ class Renderer:
                 bool(use_skybox and self.skybox_tex is not None),
                 bool(use_proxy and self.proxy_tex is not None),
                 proxy_opts,
-                self._live_path_buckets(staged["s_pad"], ml),
+                self._live_path_buckets(staged["s_pad"], ml, dc),
             )
             fn = self._get_jit(key)
             fn_back = self._get_jit_back(bool(key[8]))
