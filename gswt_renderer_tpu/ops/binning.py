@@ -389,9 +389,19 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
     if occ_zimg is not None:
         # kernel depth key: the fast profile's pair table carries bf16 z,
         # so the occlusion tests quantize the same way (never disagree
-        # with the kernel's `z < depth`)
-        zk = p["z"] if exact else (
-            p["z"].astype(jnp.bfloat16).astype(jnp.float32))
+        # with the kernel's `z < depth`). The rounding MUST go through a
+        # bitcast (the same bits _pz unpacks): XLA's simplifier elides a
+        # plain f32->bf16->f32 convert round-trip under jit, which left
+        # zk exact f32 — and in exact f32 splats sit just in FRONT of the
+        # proxy surface they decorate, so the splat-level cull silently
+        # fired on ~0 lanes (round-3 'inert cull' bug; the bf16-rounded z
+        # the kernel consumes lands ON/behind the proxy depth for ~90% of
+        # bench splats, which is what the pair-level path measured)
+        if exact:
+            zk = p["z"]
+        else:
+            zb = bc(p["z"].astype(jnp.bfloat16), jnp.uint16)
+            zk = bc(zb.astype(jnp.uint32) << 16, jnp.float32)
         # splat-level proxy-depth cull (see the docstring): bbox <= 2x2
         # tiles -> one dilated-max lookup bounds the bbox max depth
         zdil = _dilate_max2(occ_zimg)

@@ -71,6 +71,11 @@ def _bg_inputs(renderer, rc, use_skybox: bool, use_proxy: bool):
         verts=getattr(renderer, "proxy_verts", jnp.zeros((2, 4), jnp.float32)),
         tris=getattr(renderer, "proxy_tris", jnp.zeros((3, 2), jnp.int32)),
     )
+    # the fast profile samples proxy mips via the gather-free pyramid
+    # kernel — same inputs the interactive render() passes
+    if (use_proxy and not renderer.cfg.exact
+            and getattr(renderer, "proxy_pyr", None) is not None):
+        prox["pyr"] = renderer.proxy_pyr
     proxy_opts = (
         ("height_offset", float(rc.proxy_height)),
         ("brightness", float(rc.proxy_brightness)),
@@ -78,10 +83,33 @@ def _bg_inputs(renderer, rc, use_skybox: bool, use_proxy: bool):
         ("use_clip", bool(rc.use_clip)),
         ("clip_height", float(rc.clip_height)),
         ("mip_meta", getattr(renderer, "proxy_mip_meta", ((1, 1, 0),))),
+        ("mip_pyr",
+         getattr(renderer, "proxy_pyr_meta", None)
+         if (use_proxy and not renderer.cfg.exact) else None),
         ("proxy_pairs",
          renderer._proxy_bucket() if use_proxy else 1 << 12),
     )
     return use_skybox, use_proxy, sky, prox, proxy_opts
+
+
+def _bucket_kwargs(renderer, s_pad, use_proxy, shards: int = 1):
+    """Converged adaptive buckets for the sharded frame programs — the
+    SAME _pairs_bucket family (session hints included) the interactive
+    render() uses. Without these the sharded programs ran at worst-case
+    domains (max_live=None = live compaction disabled entirely), which
+    measured ~1.6x an interactive frame per camera even for IDENTICAL
+    cameras (PERFORMANCE.md 4b). shards>1 scales the hints for the
+    stream-sharded path (each shard bins ~1/shards of the demand)."""
+    dc = bool(use_proxy and renderer.proxy_tex is not None
+              and renderer.cfg.depth_cull)
+    mp = renderer._pairs_bucket(s_pad, dc, shards)
+    ml = renderer._live_bucket(s_pad, dc, shards)
+    return dict(
+        max_pairs=mp,
+        max_live=ml,
+        live_buckets=renderer._live_path_buckets(s_pad, ml, dc, shards),
+        max_entries=renderer._ne_bucket(s_pad, mp, ml, dc, shards),
+    )
 
 
 def pack_camera_batch(renderer, scene_params, cameras, render_config=None):
@@ -118,45 +146,62 @@ def render_cameras_sharded(renderer, staged, scene_params, cam_batch, mesh,
     use_skybox, use_proxy, sky, prox, proxy_opts = _bg_inputs(
         renderer, rc, use_skybox, use_proxy
     )
-    frame = functools.partial(
-        renderer._frame_packed,
-        surface_type=int(scene_params.surface_type),
-        draw_mode=int(rc.draw_mode),
-        point_cloud=bool(rc.draw_point_cloud),
-        use_skybox=use_skybox,
-        use_proxy=use_proxy,
-        proxy_opts=dict(proxy_opts),
-    )
 
-    def per_device(cams_local, store, panels, stream, draw, hm4, hm_src,
-                   sky, prox):
-        def body(carry, cam):
-            img, _ = frame(store, panels, stream, draw, cam, hm4, sky, prox,
-                           hm_src=hm_src)
-            return carry, img
+    def launch(buckets):
+        frame = functools.partial(
+            renderer._frame_packed,
+            surface_type=int(scene_params.surface_type),
+            draw_mode=int(rc.draw_mode),
+            point_cloud=bool(rc.draw_point_cloud),
+            use_skybox=use_skybox,
+            use_proxy=use_proxy,
+            proxy_opts=dict(proxy_opts),
+            **buckets,
+        )
 
-        _, imgs = jax.lax.scan(body, 0, cams_local)
-        return imgs
+        def per_device(cams_local, store, panels, stream, draw, hm4, hm_src,
+                       sky, prox):
+            def body(carry, cam):
+                img, aux = frame(store, panels, stream, draw, cam, hm4, sky,
+                                 prox, hm_src=hm_src)
+                return carry | aux["overflow"], img
 
-    # cache the traced+compiled sharded program: rebuilding shard_map per
-    # call re-traces the whole frame (~8s of host time at 1080p)
-    key = ("dp", tuple(mesh.shape.items()), cam_batch.shape,
-           staged["s_pad"], int(rc.draw_mode),
-           int(scene_params.surface_type), bool(rc.draw_point_cloud),
-           use_skybox, use_proxy, proxy_opts)
-    cache = renderer.__dict__.setdefault("_sharded_jit", {})
-    if key not in cache:
-        cache[key] = jax.jit(jax.shard_map(
-            per_device,
-            mesh=mesh,
-            in_specs=(P("dp"), P(), P(), P(), P(), P(), P(), P(), P()),
-            out_specs=P("dp"),
-            check_vma=False,
+            ovf, imgs = jax.lax.scan(body, jnp.bool_(False), cams_local)
+            return imgs, ovf[None]
+
+        # cache the traced+compiled sharded program: rebuilding shard_map
+        # per call re-traces the whole frame (~8s of host time at 1080p)
+        key = ("dp", tuple(mesh.shape.items()), cam_batch.shape,
+               staged["s_pad"], int(rc.draw_mode),
+               int(scene_params.surface_type), bool(rc.draw_point_cloud),
+               use_skybox, use_proxy, proxy_opts,
+               tuple(sorted(buckets.items())))
+        cache = renderer.__dict__.setdefault("_sharded_jit", {})
+        if key not in cache:
+            cache[key] = jax.jit(jax.shard_map(
+                per_device,
+                mesh=mesh,
+                in_specs=(P("dp"), P(), P(), P(), P(), P(), P(), P(), P()),
+                out_specs=(P("dp"), P("dp")),
+                check_vma=False,
+            ))
+        return cache[key](
+            cam_batch, renderer.store_packed, renderer.panels, stream, draw,
+            renderer.hm4, _hm_src(renderer), sky, prox,
+        )
+
+    # converged interactive buckets first; batch cameras can exceed the
+    # single-camera session maxima, so an overflow falls back to the
+    # worst-case domains (the pre-bucket behavior — always complete)
+    imgs, ovf = launch(_bucket_kwargs(renderer, staged["s_pad"], use_proxy))
+    renderer.last_batch_overflow = ovf
+    if bool(np.any(jax.device_get(ovf))):
+        imgs, ovf = launch(dict(
+            max_pairs=None, max_live=None, live_buckets=None,
+            max_entries=None,
         ))
-    return cache[key](
-        cam_batch, renderer.store_packed, renderer.panels, stream, draw,
-        renderer.hm4, _hm_src(renderer), sky, prox,
-    )
+        renderer.last_batch_overflow = ovf
+    return imgs
 
 
 def render_stream_sharded(renderer, staged, scene_params, camera, mesh,
@@ -193,55 +238,84 @@ def render_stream_sharded(renderer, staged, scene_params, camera, mesh,
     use_skybox, use_proxy, sky, prox, proxy_opts = _bg_inputs(
         renderer, rc, use_skybox, use_proxy
     )
-    front = functools.partial(
-        renderer._frame_front,
-        surface_type=int(scene_params.surface_type),
-        draw_mode=int(rc.draw_mode),
-        point_cloud=bool(rc.draw_point_cloud),
-        use_skybox=use_skybox,
-        use_proxy=use_proxy,
-        proxy_opts=dict(proxy_opts),
+    # per-shard stream domain: nb/n_sp blocks; buckets scale the session
+    # hints to ~1/n_sp demand (x2 imbalance headroom, _bucket_kwargs) so
+    # each device's binning/raster domains shrink with its pair share —
+    # the precondition for the ~n_sp raster/binning speedup this mode
+    # claims (PERFORMANCE.md roadmap #4)
+    from ..render.pipeline import STREAM_BLOCK
+
+    s_pad_local = (nb // n_sp) * STREAM_BLOCK
+
+    def launch(buckets):
+        front = functools.partial(
+            renderer._frame_front,
+            surface_type=int(scene_params.surface_type),
+            draw_mode=int(rc.draw_mode),
+            point_cloud=bool(rc.draw_point_cloud),
+            use_skybox=use_skybox,
+            use_proxy=use_proxy,
+            proxy_opts=dict(proxy_opts),
+            **buckets,
+        )
+
+        def per_device(blocks_local, store, panels, merged, draw, uniforms,
+                       hm4, hm_src, sky, prox):
+            # each shard assembles + composites its contiguous block range
+            # of the front-to-back stream (panels + merged scratch
+            # replicated)
+            binned, bg, depth_tiles, aux = front(
+                store, panels, dict(blocks=blocks_local, merged=merged),
+                draw, uniforms, hm4, sky, prox, hm_src=hm_src,
+            )
+            # splat segment over a zero background (the real bg lands after
+            # the fold); the proxy depth still gates every shard's raster
+            gs = renderer._frame_back(
+                binned, jnp.zeros_like(bg), depth_tiles, use_proxy=use_proxy
+            )
+            # fold segment images front-to-back across 'sp'
+            imgs = jax.lax.all_gather(gs, "sp")  # [n_sp, H, W, 4]
+
+            def fold(carry, nxt):
+                return composite_over(carry, nxt), None
+
+            out, _ = jax.lax.scan(fold, imgs[0], imgs[1:])
+            out = out + (1.0 - out[..., 3:4]) * bg
+            return out[None], aux["overflow"][None], aux["n_pairs_kept"][None]
+
+        # cached compiled program (see render_cameras_sharded)
+        key = ("sp", tuple(mesh.shape.items()), nb, staged["s_pad"],
+               int(rc.draw_mode), int(scene_params.surface_type),
+               bool(rc.draw_point_cloud), use_skybox, use_proxy, proxy_opts,
+               tuple(sorted(buckets.items())))
+        cache = renderer.__dict__.setdefault("_sharded_jit", {})
+        if key not in cache:
+            cache[key] = jax.jit(jax.shard_map(
+                per_device,
+                mesh=mesh,
+                in_specs=(P(None, "sp"), P(), P(), P(), P(), P(), P(), P(),
+                          P(), P()),
+                out_specs=(P(), P("sp"), P("sp")),
+                check_vma=False,
+            ))
+        return cache[key](
+            stream["blocks"], renderer.store_packed, renderer.panels,
+            stream["merged"], draw, uniforms, renderer.hm4, _hm_src(renderer),
+            sky, prox,
+        )
+
+    out, ovf, pairs_kept = launch(
+        _bucket_kwargs(renderer, s_pad_local, use_proxy, shards=n_sp)
     )
-
-    def per_device(blocks_local, store, panels, merged, draw, uniforms,
-                   hm4, hm_src, sky, prox):
-        # each shard assembles + composites its contiguous block range of
-        # the front-to-back stream (panels + merged scratch replicated)
-        binned, bg, depth_tiles, _aux = front(
-            store, panels, dict(blocks=blocks_local, merged=merged),
-            draw, uniforms, hm4, sky, prox, hm_src=hm_src,
-        )
-        # splat segment over a zero background (the real bg lands after
-        # the fold); the proxy depth still gates every shard's raster
-        gs = renderer._frame_back(
-            binned, jnp.zeros_like(bg), depth_tiles, use_proxy=use_proxy
-        )
-        # fold segment images front-to-back across 'sp'
-        imgs = jax.lax.all_gather(gs, "sp")  # [n_sp, H, W, 4]
-
-        def fold(carry, nxt):
-            return composite_over(carry, nxt), None
-
-        out, _ = jax.lax.scan(fold, imgs[0], imgs[1:])
-        out = out + (1.0 - out[..., 3:4]) * bg
-        return out[None]
-
-    # cached compiled program (see render_cameras_sharded)
-    key = ("sp", tuple(mesh.shape.items()), nb, staged["s_pad"],
-           int(rc.draw_mode), int(scene_params.surface_type),
-           bool(rc.draw_point_cloud), use_skybox, use_proxy, proxy_opts)
-    cache = renderer.__dict__.setdefault("_sharded_jit", {})
-    if key not in cache:
-        cache[key] = jax.jit(jax.shard_map(
-            per_device,
-            mesh=mesh,
-            in_specs=(P(None, "sp"), P(), P(), P(), P(), P(), P(), P(),
-                      P(), P()),
-            out_specs=P(),
-            check_vma=False,
+    # per-device binned pair domains — the dryrun asserts these shrink to
+    # ~1/n_sp of the single-device count
+    renderer.last_shard_pairs_kept = pairs_kept
+    renderer.last_batch_overflow = ovf
+    if bool(np.any(jax.device_get(ovf))):
+        out, ovf, pairs_kept = launch(dict(
+            max_pairs=None, max_live=None, live_buckets=None,
+            max_entries=None,
         ))
-    return cache[key](
-        stream["blocks"], renderer.store_packed, renderer.panels,
-        stream["merged"], draw, uniforms, renderer.hm4, _hm_src(renderer),
-        sky, prox,
-    )
+        renderer.last_shard_pairs_kept = pairs_kept
+        renderer.last_batch_overflow = ovf
+    return out

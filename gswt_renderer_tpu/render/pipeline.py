@@ -131,10 +131,12 @@ class RendererConfig:
     # seed-scale for the adaptive-bucket FLOORS in depth-culled variants:
     # the splat-level cull shrinks observed n_live/n_extra/n_entries far
     # below the gs-only seed factors, and grow-only floors would otherwise
-    # pin the sort domains at pre-cull size forever (measured keep
-    # fraction ~0.15-0.3 of pairs; 0.45 leaves headroom, overflow retry
-    # covers the rest)
-    dc_seed_scale: float = 0.45
+    # pin the sort domains at pre-cull size forever. Measured at the 1080p
+    # full-config bench: ~0.11 of live splats survive the splat-level cull
+    # (dbg_occ_splat.py: 784.5k of 878.5k culled), so 0.12 seeds land on
+    # the converged rung; a camera that defeats the cull (e.g. all sky —
+    # no proxy coverage in view) overflows once and the retry regrows
+    dc_seed_scale: float = 0.12
     # the proxy triangle raster's tile grid is independent of the splat
     # grid (its full-image depth output is re-tiled to the splat grid by
     # image_to_depth_tiles); 64x32 won its own trade between per-entry
@@ -789,13 +791,24 @@ class Renderer:
             want = int(hint * 2.0)
         return _next_pow2(max(want, 1 << 12), 1 << 12, 1 << 22)
 
-    def _pairs_bucket(self, s_pad: int, dc: bool = False) -> int:
+    @staticmethod
+    def _shard_hint(hint, shards: int):
+        """Scale a full-domain session hint to a per-shard demand estimate
+        for the stream-sharded path: each of `shards` contiguous stream
+        segments bins ~1/shards of the demand; x2 absorbs imbalance (front
+        segments are denser — near splats project larger)."""
+        if hint is None or shards <= 1:
+            return hint
+        return -(-hint * 2 // shards)
+
+    def _pairs_bucket(self, s_pad: int, dc: bool = False,
+                      shards: int = 1) -> int:
         """Adaptive EXTRA-pair budget (path-2 pairs of ops/binning.py; the
         first tile of every splat is budgeted by the stream itself): bucket
         on the last observed extra-pair count with headroom (overflow grows
         it for subsequent frames)."""
         c = self.cfg
-        hint = getattr(self, "_pairs_hint", None)
+        hint = self._shard_hint(getattr(self, "_pairs_hint", None), shards)
         # the seed is a session FLOOR: an interactive camera can observe a
         # low-demand frame first and would otherwise shrink the bucket,
         # paying a recompile now and another when demand grows back
@@ -808,14 +821,15 @@ class Renderer:
         want = max(want, c.chunk)
         return _next_pow2(want, c.chunk, 1 << 24)
 
-    def _live_bucket(self, s_pad: int, dc: bool = False) -> int:
+    def _live_bucket(self, s_pad: int, dc: bool = False,
+                     shards: int = 1) -> int:
         """Adaptive live-splat compaction bucket (ops/binning.py): the
         padded stream is mostly culled splats at typical cameras, so every
         binning domain downstream of the compaction sort shrinks to this.
         Seeded from live_factor; grows on observed n_live (overflow retries
         like the pair budget). Capped at s_pad = compaction disabled."""
         c = self.cfg
-        hint = getattr(self, "_live_hint", None)
+        hint = self._shard_hint(getattr(self, "_live_hint", None), shards)
         # seed = session floor (see _pairs_bucket)
         want = int(s_pad * c.live_factor * (c.dc_seed_scale if dc else 1.0))
         if hint is not None:
@@ -826,7 +840,7 @@ class Renderer:
         return min(_next_pow2(want, c.chunk, 1 << 24), s_pad)
 
     def _live_path_buckets(self, s_pad: int, max_live: int,
-                           dc: bool = False) -> tuple:
+                           dc: bool = False, shards: int = 1) -> tuple:
         """Per-path prefix budgets (ops/binning.py live_buckets): path j
         of the count-classed compaction reads only the splats overlapping
         more than j tiles, bucketed on the observed n_live_paths[j] with
@@ -841,13 +855,15 @@ class Renderer:
                 f = c.live_factor * (0.5 ** j)
             want = int(s_pad * f * (c.dc_seed_scale if dc else 1.0))
             if hints is not None and j < len(hints):
-                want = max(want, int(hints[j] * 1.35))
+                want = max(
+                    want, int(self._shard_hint(hints[j], shards) * 1.35)
+                )
             want = max(want, c.chunk)
             out.append(min(_next_pow2(want, c.chunk, 1 << 24), max_live))
         return tuple(out)
 
     def _ne_bucket(self, s_pad: int, max_pairs: int, max_live: int,
-                   dc: bool = False) -> int:
+                   dc: bool = False, shards: int = 1) -> int:
         """Adaptive worklist-entry budget: every Pallas grid step costs
         ~1-2us even when dead, so the static entry count is bucketed near
         the observed per-frame entry count instead of the worst case
@@ -859,6 +875,10 @@ class Renderer:
         n_tiles = ntx * nty
         cap = (2 * max_live + max_pairs) // c.chunk + n_tiles
         hint = getattr(self, "_ne_hint", None)
+        if hint is not None and shards > 1:
+            # entries = chunk entries (scale with demand) + one per tile
+            # (don't): split before scaling
+            hint = self._shard_hint(max(hint - n_tiles, 0), shards) + n_tiles
         # seed with the SAME formula the hint path uses, applied to an
         # estimated entry count (live pairs ~ 0.85 * s_pad at 1080p), so
         # the first frame usually lands on the converged bucket; the seed
