@@ -77,7 +77,8 @@ def _dense_row(width, height, n_frames=64):
                  synchronous=False)
     hkey = (f"v1_{width}x{height}_dense8192_l5"
             f"_t{rc.tile_w}x{rc.tile_h}_c{rc.chunk}"
-            + ("_dc" if rc.depth_cull else ""))
+            + ("_dc" if rc.depth_cull else "")
+            + ("_sat" if rc.sat_cull and not rc.exact else ""))
     loaded = _load_hints(hkey)
     if loaded:
         eng.renderer.set_bucket_hints(loaded)
@@ -156,10 +157,11 @@ def main():
     hkey = (f"v1_{width}x{height}_s{splats}_l{n_lod}_full"
             f"_t{rc.tile_w}x{rc.tile_h}_c{rc.chunk}"
             + ("_cull" if rc.cull_exact else "")
-            # the proxy-depth occlusion cull shrinks observed demand ~8x;
-            # hints recorded without it would pin the buckets at pre-cull
+            # the occlusion/saturation culls shrink observed demand ~8x;
+            # hints recorded without them would pin the buckets at pre-cull
             # domains (and vice versa), so the cull state is part of the key
-            + ("_dc" if rc.depth_cull else ""))
+            + ("_dc" if rc.depth_cull else "")
+            + ("_sat" if rc.sat_cull and not rc.exact else ""))
     loaded_hints = _load_hints(hkey)
     if loaded_hints:
         eng.renderer.set_bucket_hints(loaded_hints)

@@ -125,7 +125,7 @@ def main():
         do = alive & run_live & (~sat)
 
         def live(_):
-            _, t_next = raster._entry_body(
+            _, t_next, _ = raster._entry_body(
                 tbl, dt3[tile], tile, ec, t0, r_start, r_end,
                 tw=tw, th=th, chunk=chunk, exact=c.exact, use_depth=True)
             return t_next

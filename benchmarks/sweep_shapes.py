@@ -78,7 +78,9 @@ def run_config(scene_vec, tile_w, tile_h, chunk, step, cull, *, width,
     hkey = (f"v1_{width}x{height}_s{splats}_l{n_lod}_full"
             f"_t{tile_w}x{tile_h}_c{chunk}" + ("_cull" if cull else "")
             + (f"_e{elem}" if elem else "")
-            + ("_dc" if eng.renderer.cfg.depth_cull else ""))
+            + ("_dc" if eng.renderer.cfg.depth_cull else "")
+            + ("_sat" if eng.renderer.cfg.sat_cull
+               and not eng.renderer.cfg.exact else ""))
     loaded = hintstore.load(hkey)
     if loaded:
         eng.renderer.set_bucket_hints(loaded)

@@ -176,7 +176,7 @@ def build_worklist(sorted_key, *, n_tiles, max_pairs: int, chunk: int,
 
 
 def build_pair_table(sorted_key, dead, cx, cy, qa, qb, qc, z, r, g, b, a, *,
-                     ntx, n_tiles, tile_wh):
+                     ntx, n_tiles, tile_wh, src=None):
     """Assemble the [16, P] raster table with the exponent quadratic
     RECENTERED to each pair's raster-tile origin:
 
@@ -187,8 +187,9 @@ def build_pair_table(sorted_key, dead, cx, cy, qa, qb, qc, z, r, g, b, a, *,
     raster matmul can then run reduced-precision without breaking the
     exponent, and f32 rounding vs the per-pixel oracle math shrinks.
 
-    Row 11 carries ln(alpha) (-inf for dead/transparent pairs): the raster
-    kernel folds the alpha multiply into the exponent add."""
+    Row 11 carries ln(alpha) (-inf for dead/transparent pairs); row 12
+    the pair's STREAM SLOT as f32 (exact to 2^24 — for the raster's
+    saturation-slot record, ops/raster.py emit_zcut)."""
     tw, th = tile_wh
     tile_c = jnp.minimum(sorted_key, n_tiles - 1)
     ox = (tile_c % ntx * tw).astype(jnp.float32)
@@ -198,12 +199,15 @@ def build_pair_table(sorted_key, dead, cx, cy, qa, qb, qc, z, r, g, b, a, *,
     av = qa * dx + qb * dy
     bv = qb * dx + qc * dy
     k5 = jnp.where(dead, -1e30, -(dx * av + dy * bv))
+    src_row = (jnp.zeros_like(z) if src is None
+               else src.astype(jnp.float32))
     return jnp.stack(
         [
             -qa, -2.0 * qb, -qc, 2.0 * av, 2.0 * bv, k5,
             z, jnp.zeros_like(z), r, g, b, jnp.log(a),
+            src_row,
         ]
-        + [jnp.zeros_like(z)] * 4,
+        + [jnp.zeros_like(z)] * 3,
         axis=0,
     )
 
@@ -305,7 +309,7 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
               exact: bool = True, max_entries: int | None = None,
               max_live: int | None = None, elem_paths: int = 2,
               live_buckets: tuple[int, ...] | None = None,
-              cull_exact: bool = False, occ_zimg=None):
+              cull_exact: bool = False, occ_zimg=None, sat_simg=None):
     """p: projection outputs (front-to-back order, S lanes). Static:
     image_wh (W,H), tile_wh (tw, th) pixels, max_pairs, chunk, exact,
     max_entries (worklist budget, see build_worklist), max_live (live-splat
@@ -364,8 +368,22 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
       bench pairs are occluded, benchmarks/saturation.py);
     - pair level, per enumerated pair: the exact per-tile test for
       whatever survives (wide splats, partial occlusion).
-    The test uses the SAME z the kernel consumes (bf16-quantized in the
+    The test uses the SAME z the kernel consumes (u16-quantized in the
     fast profile), so cull and depth test can never disagree.
+
+    sat_simg (optional [nty, ntx] f32): per-raster-tile SATURATION SLOT
+    cut — the stream slot beyond which the previous frame's raster proved
+    nothing can contribute to that tile (the tile was opaque:
+    ops/raster.py emit_zcut; pipeline.py threads it frame to frame). A
+    pair whose STREAM SLOT is >= the cut composites entirely behind a
+    transmittance < MIN_T, so dropping it changes the image by < MIN_T
+    per pixel (below the reference ROP's quantization). Slot-keyed — not
+    depth-keyed — so the certificate is self-renewing: the cull never
+    removes anything BEFORE the recorded slot, the kept prefix's
+    transmittance upper-bounds the full-stack one, and each frame's
+    record re-certifies from its own run even right after a camera jump
+    or a stream re-sort (one-frame transient, then sound again). Same
+    two levels as occ_zimg (dilated splat-level + exact pair-level).
       n_live_paths [elem_paths] i32 (#splats with count>j — bucket
         live_buckets[j-1] on entries 1..), overflow bool
     """
@@ -387,26 +405,32 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
     onscreen = (cx + ex >= 0) & (cx - ex < w_img) & (cy + ey >= 0) & (cy - ey < h_img)
     ok = valid & onscreen
     if occ_zimg is not None:
-        # kernel depth key: the fast profile's pair table carries bf16 z,
-        # so the occlusion tests quantize the same way (never disagree
-        # with the kernel's `z < depth`). The rounding MUST go through a
-        # bitcast (the same bits _pz unpacks): XLA's simplifier elides a
-        # plain f32->bf16->f32 convert round-trip under jit, which left
-        # zk exact f32 — and in exact f32 splats sit just in FRONT of the
-        # proxy surface they decorate, so the splat-level cull silently
-        # fired on ~0 lanes (round-3 'inert cull' bug; the bf16-rounded z
-        # the kernel consumes lands ON/behind the proxy depth for ~90% of
-        # bench splats, which is what the pair-level path measured)
+        # kernel depth key: the fast profile's pair table carries z
+        # quantized to u16 fixed point, FLOORED (see the pack site below
+        # for why), so the occlusion tests quantize the same way and
+        # never disagree with the kernel's `z < depth`. The key must be
+        # the exact same integer round-trip the unpack performs (a plain
+        # f32 convert round-trip is elided by XLA's simplifier under jit
+        # — the round-3 'inert cull' bug)
         if exact:
             zk = p["z"]
         else:
-            zb = bc(p["z"].astype(jnp.bfloat16), jnp.uint16)
-            zk = bc(zb.astype(jnp.uint32) << 16, jnp.float32)
+            zk = jnp.floor(
+                jnp.clip(p["z"], 0.0, 1.0) * 65535.0
+            ) * jnp.float32(1.0 / 65535.0)
         # splat-level proxy-depth cull (see the docstring): bbox <= 2x2
         # tiles -> one dilated-max lookup bounds the bbox max depth
         zdil = _dilate_max2(occ_zimg)
         small = (x1 - x0 <= 1) & (y1 - y0 <= 1)
         ok = ok & ~(small & (zk >= _zmax_lookup(x0, y0, zdil)))
+    if sat_simg is not None:
+        # splat-level saturation cull: bbox <= 2x2 -> the dilated-max cut
+        # bounds every covered tile's cut; the splat's stream SLOT is its
+        # lane index (projection outputs are stream-ordered)
+        slot_f = jnp.arange(s_n, dtype=jnp.float32)
+        sdil = _dilate_max2(sat_simg)
+        small_s = (x1 - x0 <= 1) & (y1 - y0 <= 1)
+        ok = ok & ~(small_s & (slot_f >= _zmax_lookup(x0, y0, sdil)))
     nx = jnp.where(ok, x1 - x0 + 1, 0)
     ny = jnp.where(ok, y1 - y0 + 1, 0)
     # bbox rides the compaction sort as ONE packed i32 row: x0 | y0<<8 |
@@ -445,7 +469,25 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
         l21 = qb / l11
         l22 = jnp.sqrt(jnp.maximum(qc - l21 * l21, 0.0))
         qab = bc((bf16_hi(l11) << 16) | bf16_hi(l21), jnp.float32)
-        qcz = bc((bf16_hi(l22) << 16) | bf16_hi(p["z"]), jnp.float32)
+        # z is quantized to u16 FIXED-POINT over NDC [0,1], FLOORED — not
+        # bf16, and not round-to-nearest:
+        # - fixed point: NDC z only spans [0,1], so bf16 wastes its
+        #   exponent bits and resolves only ~4e-3 near the far plane,
+        #   while the splat-vs-proxy NDC gaps the depth test must resolve
+        #   are ~1e-4..1e-5 at range (reference default proxy_height=-0.5
+        #   puts the proxy 0.5 BELOW the splat surface — renderer.rs
+        #   CompareFunction::Less keeps the splats). u16 fixed point
+        #   resolves 1.53e-5 uniformly, 256x finer where it matters.
+        # - floor: ties must resolve to 'in front'. Nearest-rounded bf16
+        #   resolved them to 'behind' for ~90% of bench splats, silently
+        #   replacing distant splats with the proxy texture (32% of
+        #   full-config pixels off by >8/255 vs the exact profile,
+        #   benchmarks/dbg_fast_exact_proxy.py). Floor keeps every splat
+        #   the reference's f32 test keeps; the <=1-step of extra kept
+        #   fragments composite under the surface stack.
+        zq16 = jnp.floor(
+            jnp.clip(p["z"], 0.0, 1.0) * 65535.0).astype(jnp.uint32)
+        qcz = bc((bf16_hi(l22) << 16) | zq16, jnp.float32)
 
         def u8v(x):
             return jnp.round(
@@ -556,11 +598,15 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
         )
 
     def _pz(rows, sl):
-        """Kernel depth key from payload rows (bf16-quantized in the fast
-        profile — the same value build_pair_table row 6 will carry)."""
+        """Kernel depth key from payload rows (u16-fixed-point-quantized
+        in the fast profile — the same value and the same fp op chain as
+        build_pair_table row 6, so cull and kernel can never disagree)."""
         if exact:
             return rows[5][sl]
-        return bc(bc(rows[3][sl], jnp.int32) << 16, jnp.float32)
+        return (
+            (bc(rows[3][sl], jnp.int32) & 0xFFFF).astype(jnp.float32)
+            * jnp.float32(1.0 / 65535.0)
+        )
 
     elem_tiles = []
     for j in range(elem_paths):
@@ -574,6 +620,10 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
             occ = _pz(payload_c, slice(0, b)) >= _zmax_lookup(
                 txj, tyj, occ_zimg)
             tj = jnp.where(occ, n_tiles, tj)
+        if sat_simg is not None:
+            satd = src[:b].astype(jnp.float32) >= _zmax_lookup(
+                txj, tyj, sat_simg)
+            tj = jnp.where(satd, n_tiles, tj)
         if cull_exact:
             tj = _cull_pair_tiles(
                 tj, *_cq(payload_c, slice(0, b)),
@@ -622,6 +672,9 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
             [g_rows[2 + i] for i in range(len(payload_c))], slice(None)
         ) >= _zmax_lookup(tx2, ty2, occ_zimg)
         tile2 = jnp.where(occ2, n_tiles, tile2)
+    if sat_simg is not None:
+        sat2 = src2.astype(jnp.float32) >= _zmax_lookup(tx2, ty2, sat_simg)
+        tile2 = jnp.where(sat2, n_tiles, tile2)
     if cull_exact:
         tile2 = _cull_pair_tiles(
             tile2, *_cq([g_rows[2 + i] for i in range(len(payload_c))],
@@ -648,6 +701,9 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
         srt = jax.lax.sort([ikey] + rows_all, num_keys=1, is_stable=False)
         ukeys = bc(srt[0], jnp.uint32) ^ jnp.uint32(0x80000000)
         tile_of = (ukeys >> rank_bits).astype(jnp.int32)
+        # the sorted key's low bits ARE the pair's stream slot — free
+        src_of = (ukeys & jnp.uint32((1 << rank_bits) - 1)).astype(
+            jnp.int32)
         rows_s = srt[1:]
     else:
         # (tile, rank) keys are unique, so the unstable 2-key sort is
@@ -656,6 +712,7 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
             [tiles_all, ranks_all] + rows_all, num_keys=2, is_stable=False
         )
         tile_of = srt[0]
+        src_of = srt[1]
         rows_s = srt[2:]
 
     dead = tile_of >= n_tiles
@@ -679,7 +736,7 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
         qag = l11 * l11
         qbg = l11 * l21
         qcg = l21 * l21 + l22 * l22
-        zg = bc(u3 << 16, jnp.float32)
+        zg = (u3 & 0xFFFF).astype(jnp.float32) * jnp.float32(1.0 / 65535.0)
         inv255 = jnp.float32(1.0 / 255.0)
         rg = (u4 & 0xFF).astype(jnp.float32) * inv255
         gg = ((u4 >> 8) & 0xFF).astype(jnp.float32) * inv255
@@ -688,7 +745,7 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
 
     table = build_pair_table(
         tile_of, dead, cxg, cyg, qag, qbg, qcg, zg, rg, gg, bg, ag,
-        ntx=ntx, n_tiles=n_tiles, tile_wh=tile_wh,
+        ntx=ntx, n_tiles=n_tiles, tile_wh=tile_wh, src=src_of,
     )
 
     wl = build_worklist(tile_of, n_tiles=n_tiles, max_pairs=n_dom,

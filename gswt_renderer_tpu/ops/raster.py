@@ -54,6 +54,12 @@ MIN_T = 0.5 / 255.0  # early-exit transmittance (below ROP quantization)
 #            wins composed. Same-session A/B: diffroll 60.9 vs diff 62.1
 #            ms — the default
 _SCAN_IMPL = os.environ.get("GSWT_SCAN_IMPL", "diffroll")
+# saturation-SLOT record: per tile, the stream slot beyond which nothing
+# can contribute because the tile was already opaque. SAT_NOCUT (> any
+# stream slot; slots are exact in f32 to 2^24) marks "no cut"; +0.5 makes
+# `slot >= cut` strictly `slot > last composited slot` (slots integral)
+SAT_NOCUT = float(1 << 25)
+_SCUT_BUMP = 0.5
 
 
 def _pixel_features(tw, th):
@@ -342,8 +348,10 @@ def _scan_weights(gmat, t_carry):
 def _entry_body(table, depth_row, tile, ec, t_carry, r_start, r_end,
                 *, tw, th, chunk, exact, use_depth):
     """One (tile, chunk) worklist entry: exponent matmul, masks, scan,
-    color matmul. Returns (contrib (4,P), t_next (1,P)). Shared by the
-    per-entry and the blocked (S entries/grid-step) kernels."""
+    color matmul. Returns (contrib (4,P), t_next (1,P), smax scalar — the
+    max STREAM SLOT (table row 12) over the entry's in-run lanes, for the
+    saturation-slot record). Shared by the per-entry and the blocked
+    (S entries/grid-step) kernels."""
     ktab = table[0:8]
     rgb1 = jnp.concatenate(
         [table[8:11], jnp.ones((1, chunk), jnp.float32)], axis=0
@@ -410,7 +418,14 @@ def _entry_body(table, depth_row, tile, ec, t_carry, r_start, r_end,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT,
         )
-    return contrib, t_next
+    # max in-run STREAM SLOT of this composited entry: every pair the
+    # kernel composites for a tile has slot <= the running max of these,
+    # so pairs strictly beyond it can only land in entries the saturation
+    # early exit skips (in-run masked/cutoff lanes only RAISE the max —
+    # safe; tile runs are slot-ascending, so this is the last composited
+    # pair's slot)
+    smax = jnp.max(jnp.where(in_run, table[12, :][:, None], -1.0))
+    return contrib, t_next, smax
 
 
 def _raster_kernel(
@@ -422,13 +437,14 @@ def _raster_kernel(
     out_ref,
     # scratch
     acc_ref, trans_ref,
-    *, tw, th, ntx, chunk, exact, use_depth,
+    *, tw, th, ntx, chunk, exact, use_depth, emit_zcut,
 ):
     g = pl.program_id(0)
     tf = e_tf[g]
     tile = tf & 0xFFFFFF
     first = ((tf >> 24) & 1) == 1
     p_n = th * tw
+    rows = 8 if emit_zcut else 4
 
     @pl.when(first)
     def _():
@@ -440,11 +456,13 @@ def _raster_kernel(
     # skip saturated tiles (early exit) and dead worklist entries
     @pl.when((jnp.max(t_carry) >= MIN_T) & (r_start[tile] < r_end[tile]))
     def _():
-        contrib, t_next = _entry_body(
+        contrib, t_next, smax = _entry_body(
             table_ref[:], depth_ref[0] if use_depth else None, tile,
             e_chunk[g], t_carry, r_start, r_end, tw=tw, th=th, chunk=chunk,
             exact=exact, use_depth=use_depth)
         acc_ref[0:4, :] = acc_ref[0:4, :] + contrib
+        if emit_zcut:
+            acc_ref[4:5, :] = jnp.maximum(acc_ref[4:5, :], smax)
         trans_ref[0:1, :] = t_next
 
     # `last` is also set on the final in-budget entry (build_worklist), so
@@ -454,7 +472,15 @@ def _raster_kernel(
 
     @pl.when(last)
     def _():
-        out_ref[0, 0:4, :] = acc_ref[0:4, :].reshape(1, 4, p_n)[0]
+        if emit_zcut:
+            # saturation-slot record (row 4): if the tile ended saturated
+            # (the early exit was skipping), pairs whose stream slot is
+            # strictly beyond the last composited one can never contribute
+            # — export that cut; else no cut (SAT_NOCUT > any slot)
+            sat = jnp.max(trans_ref[0:1, :]) < MIN_T
+            acc_ref[4:5, :] = jnp.where(
+                sat, acc_ref[4:5, :] + _SCUT_BUMP, SAT_NOCUT)
+        out_ref[0, 0:rows, :] = acc_ref[0:rows, :].reshape(1, rows, p_n)[0]
 
 
 def _raster_kernel_blocked(
@@ -467,7 +493,7 @@ def _raster_kernel_blocked(
     out_ref,
     # scratch
     acc_ref, trans_ref, dscr_ref, sem_out, sem_d,
-    *, tw, th, chunk, step, exact, use_depth,
+    *, tw, th, chunk, step, exact, use_depth, emit_zcut,
 ):
     """S worklist entries per grid step: Mosaic's fixed per-step cost
     (~1.7 us measured — DMA bookkeeping + step dispatch) dominated the
@@ -509,30 +535,58 @@ def _raster_kernel_blocked(
             tbl_a = ta_ref[:, pl.ds(loa * chunk, chunk)]
             tbl_b = tb_ref[:, pl.ds(loa * chunk, chunk)]
             table = jnp.where(in_a, tbl_a, tbl_b)
-            contrib, t_next = _entry_body(
+            contrib, t_next, smax = _entry_body(
                 table, dscr_ref[0:1, :] if use_depth else None, tile,
                 e_chunk[e], t_carry, r_start, r_end, tw=tw, th=th,
                 chunk=chunk, exact=exact, use_depth=use_depth)
             acc_ref[0:4, :] = acc_ref[0:4, :] + contrib
+            if emit_zcut:
+                acc_ref[4:5, :] = jnp.maximum(acc_ref[4:5, :], smax)
             trans_ref[0:1, :] = t_next
 
         last = ((tf >> 25) & 1) == 1
 
         @pl.when(last)
         def _():
+            if emit_zcut:
+                # saturation-slot record — see _raster_kernel
+                sat = jnp.max(trans_ref[0:1, :]) < MIN_T
+                acc_ref[4:5, :] = jnp.where(
+                    sat, acc_ref[4:5, :] + _SCUT_BUMP, SAT_NOCUT)
             cp = pltpu.make_async_copy(acc_ref, out_ref.at[tile], sem_out)
             cp.start()
             cp.wait()
 
 
+def _split_zcut(out, touched, emit_zcut):
+    """Split the raster output into (color [T,4,P], zcut [T] or None),
+    defaulting budget-dropped tiles to color 0 / no cut (2.0)."""
+    if not emit_zcut:
+        if touched is not None:
+            out = jnp.where(touched[:, None, None], out, 0.0)
+        return out
+    color = out[:, 0:4, :]
+    zcut = out[:, 4, 0]
+    if touched is not None:
+        color = jnp.where(touched[:, None, None], color, 0.0)
+        zcut = jnp.where(touched, zcut, SAT_NOCUT)
+    return color, zcut
+
+
 def rasterize_pallas(binned, depth_tiles, *, image_wh, tile_wh, chunk: int,
                      interpret: bool = False, exact: bool = True,
-                     use_depth: bool = True, step: int | None = None):
+                     use_depth: bool = True, step: int | None = None,
+                     emit_zcut: bool = False):
     """Run the Pallas tile rasterizer.
 
     binned: output of bin_pairs. depth_tiles: [T, th*tw] per-pixel depth
     (1.0 when no proxy). Returns rgb_acc [T, 4, P]: premultiplied color +
     alpha per tile block; reassemble with `tiles_to_image`.
+
+    emit_zcut: also return a per-tile saturation-SLOT record [T] f32 —
+    for saturated tiles the stream slot beyond which no pair can
+    contribute (the render loop feeds it back as next frame's binning
+    sat_simg cull), SAT_NOCUT otherwise. Return becomes (rgb_acc, scut).
 
     step: worklist entries per grid step (default GSWT_RASTER_STEP or 4).
     The blocked kernel needs the table domain to be a multiple of
@@ -547,6 +601,7 @@ def rasterize_pallas(binned, depth_tiles, *, image_wh, tile_wh, chunk: int,
     nty = -(-h_img // th)
     n_tiles = ntx * nty
     p_n = th * tw
+    rows_out = 8 if emit_zcut else 4
     ne = binned["entry_tf"].shape[0]
     if step is None:
         step = int(os.environ.get("GSWT_RASTER_STEP", "4"))
@@ -556,10 +611,12 @@ def rasterize_pallas(binned, depth_tiles, *, image_wh, tile_wh, chunk: int,
             and ne % step == 0):
         return _rasterize_blocked(
             binned, depth_tiles, n_tiles=n_tiles, tw=tw, th=th, chunk=chunk,
-            step=step, exact=exact, use_depth=use_depth, interpret=interpret)
+            step=step, exact=exact, use_depth=use_depth, interpret=interpret,
+            emit_zcut=emit_zcut)
 
     kernel = functools.partial(_raster_kernel, tw=tw, th=th, ntx=ntx,
-                               chunk=chunk, exact=exact, use_depth=use_depth)
+                               chunk=chunk, exact=exact, use_depth=use_depth,
+                               emit_zcut=emit_zcut)
     n_rows = binned["table"].shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -577,18 +634,18 @@ def rasterize_pallas(binned, depth_tiles, *, image_wh, tile_wh, chunk: int,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 4, p_n),
+            (1, rows_out, p_n),
             lambda g, etf, ec, rs, re: (etf[g] & 0xFFFFFF, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((4, p_n), jnp.float32),
+            pltpu.VMEM((rows_out, p_n), jnp.float32),
             pltpu.VMEM((1, p_n), jnp.float32),
         ],
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 4, p_n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, rows_out, p_n), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(
@@ -600,16 +657,14 @@ def rasterize_pallas(binned, depth_tiles, *, image_wh, tile_wh, chunk: int,
         depth_tiles,
     )
     # tiles the worklist budget dropped entirely hold uninitialized HBM
-    touched = binned.get("tile_touched")
-    if touched is not None:
-        out = jnp.where(touched[:, None, None], out, 0.0)
-    return out
+    return _split_zcut(out, binned.get("tile_touched"), emit_zcut)
 
 
 def _rasterize_blocked(binned, depth_tiles, *, n_tiles, tw, th, chunk,
-                       step, exact, use_depth, interpret):
+                       step, exact, use_depth, interpret, emit_zcut):
     """Blocked-worklist pallas_call (see _raster_kernel_blocked)."""
     p_n = th * tw
+    rows_out = 8 if emit_zcut else 4
     dom = binned["table"].shape[1]
     nblk = dom // (step * chunk)
     ec = binned["entry_chunk"]
@@ -620,7 +675,7 @@ def _rasterize_blocked(binned, depth_tiles, *, n_tiles, tw, th, chunk,
     blk = jnp.clip(ec[::step] // step, 0, nblk - 2)
     kernel = functools.partial(
         _raster_kernel_blocked, tw=tw, th=th, chunk=chunk, step=step,
-        exact=exact, use_depth=use_depth)
+        exact=exact, use_depth=use_depth, emit_zcut=emit_zcut)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(ne // step,),
@@ -639,7 +694,7 @@ def _rasterize_blocked(binned, depth_tiles, *, n_tiles, tw, th, chunk,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((4, p_n), jnp.float32),
+            pltpu.VMEM((rows_out, p_n), jnp.float32),
             pltpu.VMEM((1, p_n), jnp.float32),
             pltpu.VMEM((1, p_n), jnp.float32),
             pltpu.SemaphoreType.DMA,
@@ -648,7 +703,7 @@ def _rasterize_blocked(binned, depth_tiles, *, n_tiles, tw, th, chunk,
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 4, p_n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, rows_out, p_n), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(
@@ -661,10 +716,7 @@ def _rasterize_blocked(binned, depth_tiles, *, n_tiles, tw, th, chunk,
         binned["table"],
         depth_tiles,  # (T, 1, P); .at[tile] matches the (1, P) scratch
     )
-    touched = binned.get("tile_touched")
-    if touched is not None:
-        out = jnp.where(touched[:, None, None], out, 0.0)
-    return out
+    return _split_zcut(out, binned.get("tile_touched"), emit_zcut)
 
 
 def tiles_to_image(tile_acc, *, image_wh, tile_wh):
@@ -691,7 +743,8 @@ def image_to_depth_tiles(depth, *, image_wh, tile_wh):
     return d
 
 
-def rasterize_reference(binned_np, depth_tiles_np, *, image_wh, tile_wh, chunk):
+def rasterize_reference(binned_np, depth_tiles_np, *, image_wh, tile_wh,
+                        chunk, emit_zcut=False):
     """NumPy reference with identical semantics to the kernel (for tests)."""
     w_img, h_img = image_wh
     tw, th = tile_wh
@@ -706,7 +759,9 @@ def rasterize_reference(binned_np, depth_tiles_np, *, image_wh, tile_wh, chunk):
     re_ = np.asarray(binned_np["range_end"])
     depth = np.asarray(depth_tiles_np)
     out = np.zeros((n_tiles, 4, p_n), np.float32)
+    zcut = np.full(n_tiles, SAT_NOCUT, np.float32)
     acc = np.zeros((4, p_n), np.float32)
+    zmax_t = -1.0
     tcar = np.ones((1, p_n), np.float32)
     for g in range(etf.shape[0]):
         tile = int(etf[g]) & 0xFFFFFF
@@ -714,6 +769,7 @@ def rasterize_reference(binned_np, depth_tiles_np, *, image_wh, tile_wh, chunk):
         el = (int(etf[g]) >> 25) & 1
         if ef:
             acc[:] = 0.0
+            zmax_t = -1.0
             tcar[:] = 1.0
         if tcar.max() >= MIN_T:
             blk = table[:, ec[g] * chunk : (ec[g] + 1) * chunk]
@@ -740,7 +796,11 @@ def rasterize_reference(binned_np, depth_tiles_np, *, image_wh, tile_wh, chunk):
             weight = g_m * t_excl * tcar
             rgb1 = np.concatenate([blk[8:11], np.ones((1, chunk), np.float32)], axis=0)
             acc[0:4] += rgb1 @ weight
+            if in_run.any():
+                zmax_t = max(zmax_t, float(blk[12, in_run[:, 0]].max()))
             tcar = tcar * t_incl[-1:]
         if el:
             out[tile] = acc
-    return out
+            if tcar.max() < MIN_T:
+                zcut[tile] = zmax_t + _SCUT_BUMP
+    return (out, zcut) if emit_zcut else out

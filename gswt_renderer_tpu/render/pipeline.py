@@ -123,19 +123,39 @@ class RendererConfig:
     # whose depth key fails the raster's `z < proxy depth` test at every
     # pixel of their tile — the TPU stand-in for the early-z the
     # reference's ROP applies per fragment (renderer.rs:179-185 over the
-    # proxy depth pre-pass, proxy.rs:119-125). 85% of the full-config
-    # bench's pairs are occluded this way (benchmarks/saturation.py);
-    # value-safe up to the same scan-group re-association as cull_exact.
-    # Only active in use_proxy frame variants (no depth, no cull).
+    # proxy depth pre-pass, proxy.rs:119-125). Value-safe up to the same
+    # scan-group re-association as cull_exact. Only active in use_proxy
+    # frame variants (no depth, no cull). NOTE: at the reference default
+    # proxy_height=-0.5 the proxy sits BELOW the splats, so genuine
+    # tile-wide occlusion is scene-dependent (hilly scenes at grazing
+    # views); the bulk of the headline scene's work reduction comes from
+    # sat_cull below.
     depth_cull: bool = os.environ.get("GSWT_DEPTH_CULL", "1") == "1"
-    # seed-scale for the adaptive-bucket FLOORS in depth-culled variants:
-    # the splat-level cull shrinks observed n_live/n_extra/n_entries far
-    # below the gs-only seed factors, and grow-only floors would otherwise
-    # pin the sort domains at pre-cull size forever. Measured at the 1080p
-    # full-config bench: ~0.11 of live splats survive the splat-level cull
-    # (dbg_occ_splat.py: 784.5k of 878.5k culled), so 0.12 seeds land on
-    # the converged rung; a camera that defeats the cull (e.g. all sky —
-    # no proxy coverage in view) overflows once and the retry regrows
+    # temporal saturation cull: the raster records, per tile, the STREAM
+    # SLOT beyond which nothing contributed this frame because the tile
+    # was already opaque (its early exit was skipping whole entries —
+    # ops/raster.py emit_zcut), and the NEXT frame's binning drops pairs
+    # behind that cut (dilated sat_dilate tiles for camera-motion margin).
+    # This is the per-PIXEL-bounded work reduction the reference gets from
+    # the ROP's early-z/blend hardware. The cut is SLOT-keyed, which makes
+    # the certificate self-renewing: the cull never removes anything
+    # before the recorded slot, so the kept prefix's transmittance
+    # upper-bounds the full stack's and each frame's record is sound for
+    # its own content even right after a camera jump or stream re-sort —
+    # stale cuts cause at most a one-frame under-composite (error bounded
+    # by the tile's carried transmittance), then the loop is sound again.
+    # When the prediction holds the culled pairs composite entirely behind
+    # transmittance < MIN_T = 0.5/255, below the reference ROP's own
+    # quantization. Fast profile only; GSWT_SAT_CULL=0 reverts.
+    sat_cull: bool = os.environ.get("GSWT_SAT_CULL", "1") == "1"
+    sat_dilate: int = int(os.environ.get("GSWT_SAT_DILATE", "1"))
+    # seed-scale for the adaptive-bucket FLOORS in occlusion/saturation-
+    # culled variants: the splat-level cull shrinks observed
+    # n_live/n_extra/n_entries far below the gs-only seed factors, and
+    # grow-only floors would otherwise pin the sort domains at pre-cull
+    # size forever. Applied once the sat cull is ACTIVE (a recorded cut
+    # exists), or for depth-cull-only sessions with sat_cull disabled; a
+    # camera that defeats the cull overflows once and the retry regrows.
     dc_seed_scale: float = 0.12
     # the proxy triangle raster's tile grid is independent of the splat
     # grid (its full-image depth output is re-tiled to the splat grid by
@@ -613,14 +633,19 @@ class Renderer:
         return out, aux
 
     def _frame_front(self, store_packed, panels, stream, draw, uniforms,
-                     hm4, skybox_tex, proxy_tex, hm_src=None, *,
-                     surface_type, draw_mode, point_cloud, use_skybox,
+                     hm4, skybox_tex, proxy_tex, hm_src=None, sat_zimg=None,
+                     *, surface_type, draw_mode, point_cloud, use_skybox,
                      use_proxy, proxy_opts, max_pairs=None,
                      max_entries=None, max_live=None, live_buckets=None):
         """Program A: projection + binning + background/proxy depth.
         Returns (binned, bg, depth_tiles, aux). Split from the raster so
         adaptive-bucket flips recompile less and the XLA cache is shared at
-        a finer grain."""
+        a finer grain.
+
+        sat_zimg ([nty, ntx] f32 or None): the previous frame's dilated
+        saturation-SLOT record (RendererConfig.sat_cull) — a pair whose
+        stream slot is >= its tile's cut composites entirely behind a
+        transmittance < MIN_T (ops/binning.py sat_simg)."""
         scene, cam, lod_enable, culling_dist, gs_enable = (
             self.unpack_frame_uniforms(uniforms)
         )
@@ -704,7 +729,7 @@ class Renderer:
                 chunk=c.chunk, exact=c.exact, max_entries=max_entries,
                 max_live=max_live, elem_paths=c.elem_paths,
                 live_buckets=live_buckets, cull_exact=c.cull_exact,
-                occ_zimg=occ_zimg,
+                occ_zimg=occ_zimg, sat_simg=sat_zimg,
             )
             binned.pop("grid_info")
             aux = dict(n_pairs=binned["n_pairs"], n_extra=binned["n_extra"],
@@ -718,8 +743,11 @@ class Renderer:
                 aux["proxy_pairs"] = paux["proxy_pairs"]
             return binned, bg, depth_tiles, aux
 
-    def _frame_back(self, binned, bg, depth_tiles, *, use_proxy):
-        """Program B: Pallas rasterizer + composite over the background."""
+    def _frame_back(self, binned, bg, depth_tiles, *, use_proxy,
+                    emit_zcut=False):
+        """Program B: Pallas rasterizer + composite over the background.
+        With emit_zcut, also returns the next frame's dilated
+        saturation-depth image [nty, ntx] (see RendererConfig.sat_cull)."""
         with jax.default_matmul_precision("highest"):
             c = self.cfg
             image_wh = (c.width, c.height)
@@ -727,12 +755,41 @@ class Renderer:
             tiles = raster.rasterize_pallas(
                 binned, depth_tiles, image_wh=image_wh, tile_wh=tile_wh,
                 chunk=c.chunk, interpret=c.interpret, exact=c.exact,
-                use_depth=bool(use_proxy),
+                use_depth=bool(use_proxy), emit_zcut=emit_zcut,
             )
+            if emit_zcut:
+                tiles, zcut = tiles
             img = raster.tiles_to_image(tiles, image_wh=image_wh, tile_wh=tile_wh)
             # premultiplied-over: final = gs + T * background
             t_final = 1.0 - img[..., 3:4]
-            return img + t_final * bg
+            out = img + t_final * bg
+            if not emit_zcut:
+                return out
+            ntx_g = -(-c.width // c.tile_w)
+            nty_g = -(-c.height // c.tile_h)
+            zimg = zcut.reshape(nty_g, ntx_g)
+            # camera-motion margin: a deeper neighboring cut wins (keeps
+            # more) within sat_dilate tiles of screen motion per frame
+            for _ in range(max(int(c.sat_dilate), 0)):
+                zx = jnp.maximum(
+                    zimg,
+                    jnp.maximum(
+                        jnp.pad(zimg[:, 1:], ((0, 0), (0, 1)),
+                                constant_values=0.0),
+                        jnp.pad(zimg[:, :-1], ((0, 0), (1, 0)),
+                                constant_values=0.0),
+                    ),
+                )
+                zimg = jnp.maximum(
+                    zx,
+                    jnp.maximum(
+                        jnp.pad(zx[1:, :], ((0, 1), (0, 0)),
+                                constant_values=0.0),
+                        jnp.pad(zx[:-1, :], ((1, 0), (0, 0)),
+                                constant_values=0.0),
+                    ),
+                )
+            return out, zimg
 
 
 
@@ -751,7 +808,7 @@ class Renderer:
                   f"max_live={key[3]} live_paths={key[10]}", file=sys.stderr)
             (s_pad, max_pairs, max_entries, max_live, surface_type,
              draw_mode, point_cloud, use_skybox, use_proxy, proxy_opts,
-             live_buckets) = key
+             live_buckets) = key[:11]
             fn = functools.partial(
                 self._frame_front,
                 surface_type=surface_type,
@@ -768,14 +825,16 @@ class Renderer:
             self._frame_jit[key] = jax.jit(fn)
         return self._frame_jit[key]
 
-    def _get_jit_back(self, use_proxy: bool):
+    def _get_jit_back(self, use_proxy: bool, emit_zcut: bool = False):
         if not hasattr(self, "_back_jit"):
             self._back_jit = {}
-        if use_proxy not in self._back_jit:
-            self._back_jit[use_proxy] = jax.jit(
-                functools.partial(self._frame_back, use_proxy=use_proxy)
+        key = (use_proxy, emit_zcut)
+        if key not in self._back_jit:
+            self._back_jit[key] = jax.jit(
+                functools.partial(self._frame_back, use_proxy=use_proxy,
+                                  emit_zcut=emit_zcut)
             )
-        return self._back_jit[use_proxy]
+        return self._back_jit[key]
 
     def _proxy_bucket(self) -> int:
         """Adaptive proxy-triangle pair budget (same pattern as
@@ -1016,6 +1075,24 @@ class Renderer:
         if not self.cfg.exact and getattr(self, "proxy_pyr", None) is not None:
             prox["pyr"] = self.proxy_pyr
         self.last_overflow_retries = 0
+        # temporal saturation cull (RendererConfig.sat_cull): fast-profile
+        # color frames only — debug draw modes and point clouds change
+        # what "contributes" means, and the exact profile is the parity
+        # reference
+        sat = bool(
+            self.cfg.sat_cull and not self.cfg.exact and render_gs
+            and not rc.draw_point_cloud and int(rc.draw_mode) == 0
+        )
+        if sat:
+            from ..ops.raster import SAT_NOCUT
+
+            ntx_g = -(-self.cfg.width // self.cfg.tile_w)
+            nty_g = -(-self.cfg.height // self.cfg.tile_h)
+            sat_zin = getattr(self, "_sat_zimg", None)
+            if sat_zin is None or sat_zin.shape != (nty_g, ntx_g):
+                sat_zin = jnp.full((nty_g, ntx_g), SAT_NOCUT, jnp.float32)
+        else:
+            sat_zin = None
         for _attempt in range(3):
             # proxy_opts rebuilt per attempt: a proxy-pair overflow grows
             # _proxy_hint, so the retry needs the re-evaluated bucket
@@ -1034,6 +1111,17 @@ class Renderer:
             dc = bool(
                 use_proxy and self.proxy_tex is not None and self.cfg.depth_cull
             )
+            # Scaled-down bucket seeds are only safe when the SATURATION
+            # cull is active (a recorded cut exists — frame 2 of a session
+            # on): the proxy-depth cull alone is scene-dependent (at the
+            # reference default proxy_height=-0.5 it removes ~nothing) and
+            # seeding 0.12x on it would overflow frame 1 and bake the full
+            # pre-cull demand into the grow-only hints. Until the cut
+            # exists the seeds stay full-size and the first frame's demand
+            # is kept OUT of the hints (hint_poison below) so the
+            # converged buckets reflect culled demand.
+            sat_active = sat and getattr(self, "_sat_zimg", None) is not None
+            dc = sat_active if sat else dc
             mp = self._pairs_bucket(staged["s_pad"], dc)
             ml = self._live_bucket(staged["s_pad"], dc)
             key = (
@@ -1048,9 +1136,10 @@ class Renderer:
                 bool(use_proxy and self.proxy_tex is not None),
                 proxy_opts,
                 self._live_path_buckets(staged["s_pad"], ml, dc),
+                sat,
             )
             fn = self._get_jit(key)
-            fn_back = self._get_jit_back(bool(key[8]))
+            fn_back = self._get_jit_back(bool(key[8]), sat)
             uniforms = jnp.asarray(
                 self.pack_frame_uniforms(
                     scene, CameraUniforms(camera), lod_enable,
@@ -1060,15 +1149,23 @@ class Renderer:
             binned, bg, depth_tiles, aux = fn(
                 self.store_packed, self.panels, stream, draw, uniforms,
                 self.hm4, sky, prox, getattr(self, "hm_src", None),
+                sat_zin,
             )
+            if sat and not sat_active:
+                # pre-cut demand: keep it out of the grow-only hints or
+                # every later frame pays pre-cull sort domains
+                aux = dict(aux, hint_poison=True)
             img = fn_back(binned, bg, depth_tiles)
+            if sat:
+                img, self._sat_zimg = img
             if pipeline_depth > 0 and not as_numpy:
                 # schedule the aux scalars' d2h copy now (async, returns
                 # immediately): by the time this frame is drained the data
                 # has landed and the per-frame aux read doesn't block
                 try:
                     for leaf in jax.tree_util.tree_leaves(aux):
-                        leaf.copy_to_host_async()
+                        if hasattr(leaf, "copy_to_host_async"):
+                            leaf.copy_to_host_async()
                 except Exception:  # pragma: no cover - backend-dependent
                     pass
                 self._inflight = getattr(self, "_inflight", None) or []
@@ -1095,6 +1192,12 @@ class Renderer:
         """Fold a fetched aux dict into the grow-only bucket hints
         (shrinking would flip buckets and recompile)."""
         a = self.last_aux
+        if a.get("hint_poison") and not bool(a["overflow"]):
+            # pre-sat-cut demand (frame 1 of a session): keeping it out of
+            # the grow-only hints is what lets the sort domains shrink to
+            # the culled steady state. An overflowed frame absorbs anyway —
+            # the retry/regrow machinery needs the true demand.
+            return
         self._pairs_hint = max(
             int(a["n_extra"]), getattr(self, "_pairs_hint", 1) or 1
         )

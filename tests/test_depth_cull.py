@@ -119,16 +119,16 @@ def test_depth_cull_pixel_identical(exact):
 
 
 def test_depth_cull_quantized_z_agrees_with_kernel():
-    """Fast profile: the pair table carries bf16 z, so the cull must test
-    the QUANTIZED z. A splat whose f32 z sits just above the tile zmax but
-    whose bf16 rounding lands below must NOT be culled (the kernel would
-    draw it)."""
-    zmax = np.float32(0.7000123)  # not bf16-representable
-    # f32 z slightly >= zmax, but bf16(z) < zmax
-    z_f32 = np.float32(0.70004)
-    z_bf16 = np.asarray(
-        jnp.asarray(z_f32).astype(jnp.bfloat16).astype(jnp.float32))
-    assert z_f32 >= zmax and z_bf16 < zmax
+    """Fast profile: the pair table carries z quantized to u16 fixed
+    point over [0,1], FLOORED (see ops/binning.py pack site), so the cull
+    must test the QUANTIZED z. A splat whose f32 z sits just above the
+    tile zmax but whose floored quantization lands below must NOT be
+    culled (the kernel would draw it)."""
+    zmax = np.float32(0.700030)  # between u16 grid points
+    # f32 z slightly >= zmax, but floor-to-u16(z) < zmax
+    z_f32 = np.float32(0.700035)
+    z_q = np.float32(np.floor(z_f32 * 65535.0)) * np.float32(1.0 / 65535.0)
+    assert z_f32 >= zmax and z_q < zmax
     n = 128
     p = _proj(n, seed=5, z=np.full(n, z_f32, np.float32))
     # center every splat inside tile (0, 0) with tiny extent

@@ -166,10 +166,15 @@ def test_hintstore_engine_roundtrip(tmp_path, monkeypatch):
                  synchronous=True, hints_key="k1")
     eng.configure(ud)
     assert eng.wait_ready(timeout_s=120)
-    for _ in range(2):
+    # 3 frames + drain: the FIRST sat-cull frame's pre-cut demand is
+    # deliberately kept out of the hints (pipeline.py hint_poison), and
+    # pipelined frames absorb their aux at drain time
+    for _ in range(3):
         eng.camera.translate(np.array([0.02, 0.05, 0.0], np.float32))
         eng.frame(readback=False)
+    eng.renderer.drain()
     want = eng.renderer.bucket_hints()
+    assert want["n_live"] > 0  # culled-frame demand was absorbed
     eng.shutdown()
     assert hintstore.load("k1") == want
     # idle session must NOT clobber the stored entry with zeros
