@@ -282,6 +282,34 @@ def main():
         timed_reruns += 1
         settle()
         result = eng.run_benchmark(fp, readback=False)
+    # interactive latency (VERDICT r3 missing #4): what a viewer user sees
+    # end-to-end per displayed frame — camera input -> rendered frame ->
+    # device-side downscale+u8 -> d2h -> JPEG (viewer/server.py's exact
+    # readback path, scale 2). Measured serialized (each iteration blocks
+    # on its own JPEG), so 1000/latency is the worst-case display fps; the
+    # real viewer decouples readback from the pipelined render loop and
+    # displays at min(render fps, this).
+    import io as _io
+
+    from PIL import Image as _Image
+
+    fp.reset_path()
+    fp.start_path()
+    lat = []
+    for i in range(16):
+        t0 = time.perf_counter()
+        fp.handle_events(eng.camera, now_ms=float(i) * 100.0)
+        img = eng.frame(readback=False)
+        small = jax.numpy.clip(
+            img[::2, ::2, :3] * 255.0, 0, 255
+        ).astype(jax.numpy.uint8)
+        arr = np.asarray(jax.device_get(small))
+        buf = _io.BytesIO()
+        _Image.fromarray(arr, "RGB").save(buf, "JPEG", quality=82)
+        lat.append((time.perf_counter() - t0) * 1e3)
+    eng.renderer.drain()
+    lat_med = float(np.median(lat))
+
     final_hints = eng.renderer.bucket_hints()
     _save_hints(hkey, final_hints)
     eng.shutdown()
@@ -332,6 +360,11 @@ def main():
         recompiles_in_run=len(getattr(eng.renderer, "compile_events", []))
         - n_compiles_warm,
         timed_reruns=timed_reruns,
+        # end-to-end interactive latency: input -> frame -> downscale ->
+        # d2h -> JPEG, the viewer's display path (serialized measurement;
+        # the viewer overlaps it with the pipelined render loop)
+        interactive_latency_ms=round(lat_med, 1),
+        display_fps_worst_case=round(1000.0 / lat_med, 2) if lat_med else 0,
         # session maxima of the adaptive-bucket demands (grow-only hints):
         # a pathological pose shows up here as an outsized bucket; also
         # persisted to .gswt_hints.json so the next run starts converged

@@ -21,6 +21,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-n", type=int, default=12)
     ap.add_argument("--small", action="store_true")
+    ap.add_argument("--ab", action="store_true",
+                    help="same-session A/B: sat cull on vs off")
     args = ap.parse_args()
 
     import jax
@@ -61,40 +63,48 @@ def main():
     tex = np.stack([checker * 0.8 + 0.1, checker * 0.5 + 0.2,
                     checker * 0.3 + 0.1], axis=-1)
 
-    r = Renderer(eng, RendererConfig(width=width, height=height))
-    r.configure(ud)
-    r.set_skybox(sky, equirect=True)
-    r.set_proxy(tex)
     rc = RenderConfig.new(eng.n_tiles[0])
     sp = SceneParams.from_data(ud, eng.center_coord, rc)
-    staged = r.stage(dt, camera, rc.culling_dist)
 
-    def frame():
-        img = r.render(None, camera, sp, rc, staged=staged, as_numpy=False,
-                       use_skybox=True, use_proxy=True)
-        _ = jax.device_get(img[..., 3].sum())
+    def measure(sat: bool):
+        r = Renderer(eng, RendererConfig(width=width, height=height,
+                                         sat_cull=sat))
+        r.configure(ud)
+        r.set_skybox(sky, equirect=True)
+        r.set_proxy(tex)
+        staged = r.stage(dt, camera, rc.culling_dist)
 
-    t0 = time.time()
-    frame()
-    print(f"first frame (incl. compile) {time.time()-t0:.1f}s",
-          file=sys.stderr)
-    # a couple of settle frames so adaptive buckets converge
-    for _ in range(3):
-        frame()
-    aux = {k: (np.asarray(v).tolist() if hasattr(v, "tolist") else v)
-           for k, v in (r.last_aux or {}).items()}
-    print("aux:", aux, file=sys.stderr)
-    print("depth_cull:", r.cfg.depth_cull, " exact:", r.cfg.exact,
-          file=sys.stderr)
+        def frame():
+            img = r.render(None, camera, sp, rc, staged=staged,
+                           as_numpy=False, use_skybox=True, use_proxy=True)
+            _ = jax.device_get(img[..., 3].sum())
 
-    ts = []
-    for _ in range(args.n):
         t0 = time.time()
         frame()
-        ts.append((time.time() - t0) * 1000.0)
-    ts = np.array(ts)
-    print(f"frame ms: mean {ts.mean():.1f}  median {np.median(ts):.1f}  "
-          f"min {ts.min():.1f}  (n={args.n}, incl. ~sync overhead)")
+        print(f"[sat={sat}] first frame (incl. compile) "
+              f"{time.time()-t0:.1f}s", file=sys.stderr)
+        for _ in range(3):
+            frame()
+        aux = {k: (np.asarray(v).tolist() if hasattr(v, "tolist") else v)
+               for k, v in (r.last_aux or {}).items()}
+        print(f"[sat={sat}] aux:", aux, file=sys.stderr)
+        ts = []
+        for _ in range(args.n):
+            t0 = time.time()
+            frame()
+            ts.append((time.time() - t0) * 1000.0)
+        ts = np.array(ts)
+        print(f"[sat={sat}] frame ms: mean {ts.mean():.1f}  "
+              f"median {np.median(ts):.1f}  min {ts.min():.1f}  "
+              f"(n={args.n}, incl. ~sync overhead)")
+        return ts
+
+    if args.ab:
+        measure(False)
+        measure(True)
+        measure(False)  # session-drift check
+    else:
+        measure(RendererConfig().sat_cull)
 
 
 if __name__ == "__main__":

@@ -105,7 +105,16 @@ def build_worklist(sorted_key, *, n_tiles, max_pairs: int, chunk: int,
     ~1-2us even when its entry is dead, so the caller buckets this near the
     OBSERVED entry count instead of the worst case (max_pairs//chunk +
     n_tiles). Overflowing entries are dropped (their tiles would render
-    incomplete) and flagged via wl_overflow for a grow-and-retry."""
+    incomplete) and flagged via wl_overflow for a grow-and-retry.
+
+    NOTE a per-tile saturation-slot run TRUNCATION (cutting range_end at
+    the recorded cut via one searchsorted) was built and REVERTED here:
+    per-pair it removes exactly the entries the raster's saturation early
+    exit already skips (no win), and the chunk gaps it leaves between
+    consecutive tiles' runs break the blocked kernel's entry_chunk
+    +0/+1-monotonicity invariant (wrong-superblock reads). The
+    saturation cull lives at the SPLAT level in bin_pairs, where it
+    shrinks the compaction/sort/raster domains for real."""
     tile_idx = jnp.arange(n_tiles, dtype=jnp.int32)
     range_start = jnp.searchsorted(sorted_key, tile_idx, side="left").astype(jnp.int32)
     range_end = jnp.searchsorted(sorted_key, tile_idx, side="right").astype(jnp.int32)
@@ -170,6 +179,7 @@ def build_worklist(sorted_key, *, n_tiles, max_pairs: int, chunk: int,
         range_start=r_start,
         range_end=r_end,
         n_entries=total_entries,
+        n_pairs_ranges=jnp.sum(length),
         tile_touched=tile_touched,
         wl_overflow=total_entries > ne_max,
     )
@@ -250,6 +260,11 @@ _CULL_MARGIN = 0.05
 # lanes but falls to the ~6 ns/lane HBM gather rate at >= 1M, while the
 # factored one-hot is flat ~1.7-2.3 ms at every size
 _OCC_TAKE_MAX = 1 << 19
+
+# splat-level saturation cull window: a splat is lookup-cullable when its
+# bbox spans <= 2 tile columns and <= _SAT_K 8-px band rows (small splats
+# — the overwhelming majority; wider ones still truncate per tile run)
+_SAT_K = 4
 
 
 def _zmax_lookup(tx, ty, zimg):
@@ -424,13 +439,45 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
         small = (x1 - x0 <= 1) & (y1 - y0 <= 1)
         ok = ok & ~(small & (zk >= _zmax_lookup(x0, y0, zdil)))
     if sat_simg is not None:
-        # splat-level saturation cull: bbox <= 2x2 -> the dilated-max cut
-        # bounds every covered tile's cut; the splat's stream SLOT is its
-        # lane index (projection outputs are stream-ordered)
+        # splat-level saturation cull at BAND grain: a splat whose bbox
+        # spans <= 2 tile columns and <= _SAT_K band rows tests ONE
+        # lookup — the cut-image is pre-dilated at every (row-span,
+        # col-span) combination and the splat indexes the variant
+        # matching ITS span (a fixed max-size window would take NOCUT
+        # from rows/cols the splat never touches and barely cull; the
+        # span-exact window is the tight max over exactly the cells its
+        # pixels can reach). The splat's stream SLOT is its lane index
+        # (projection outputs are stream-ordered).
+        n_br = sat_simg.shape[0]  # nty * SAT_BANDS band rows
+        bh_px = (nty * th) // n_br
+
+        def _coldil(a):  # max over columns {x, x+1}
+            return jnp.concatenate(
+                [jnp.maximum(a[:, :-1], a[:, 1:]), a[:, -1:]], axis=1)
+
+        rd = sat_simg
+        variants = [rd, _coldil(rd)]
+        for s in range(1, _SAT_K):
+            # max over rows {y .. y+s} (replicate-pad: off-grid rows have
+            # no pixels, so they must not poison the window)
+            sh = jnp.concatenate(
+                [sat_simg[s:], jnp.repeat(sat_simg[-1:], s, axis=0)],
+                axis=0)
+            rd = jnp.maximum(rd, sh)
+            variants += [rd, _coldil(rd)]
+        sdil = jnp.concatenate(variants, axis=0)  # [(2K)*n_br, ntx]
         slot_f = jnp.arange(s_n, dtype=jnp.float32)
-        sdil = _dilate_max2(sat_simg)
-        small_s = (x1 - x0 <= 1) & (y1 - y0 <= 1)
-        ok = ok & ~(small_s & (slot_f >= _zmax_lookup(x0, y0, sdil)))
+        gb0 = jnp.clip(
+            jnp.floor((cy - p["ext_y"]) / bh_px).astype(jnp.int32),
+            0, n_br - 1)
+        gb1 = jnp.clip(
+            jnp.floor((cy + p["ext_y"]) / bh_px).astype(jnp.int32),
+            0, n_br - 1)
+        span_y = jnp.clip(gb1 - gb0, 0, _SAT_K - 1)
+        span_x = jnp.clip(x1 - x0, 0, 1)
+        row = (span_y * 2 + span_x) * n_br + gb0
+        small_s = (x1 - x0 <= 1) & (gb1 - gb0 <= _SAT_K - 1)
+        ok = ok & ~(small_s & (slot_f >= _zmax_lookup(x0, row, sdil)))
     nx = jnp.where(ok, x1 - x0 + 1, 0)
     ny = jnp.where(ok, y1 - y0 + 1, 0)
     # bbox rides the compaction sort as ONE packed i32 row: x0 | y0<<8 |
@@ -608,6 +655,7 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
             * jnp.float32(1.0 / 65535.0)
         )
 
+
     elem_tiles = []
     for j in range(elem_paths):
         b = pref[j]
@@ -620,10 +668,6 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
             occ = _pz(payload_c, slice(0, b)) >= _zmax_lookup(
                 txj, tyj, occ_zimg)
             tj = jnp.where(occ, n_tiles, tj)
-        if sat_simg is not None:
-            satd = src[:b].astype(jnp.float32) >= _zmax_lookup(
-                txj, tyj, sat_simg)
-            tj = jnp.where(satd, n_tiles, tj)
         if cull_exact:
             tj = _cull_pair_tiles(
                 tj, *_cq(payload_c, slice(0, b)),
@@ -672,9 +716,6 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
             [g_rows[2 + i] for i in range(len(payload_c))], slice(None)
         ) >= _zmax_lookup(tx2, ty2, occ_zimg)
         tile2 = jnp.where(occ2, n_tiles, tile2)
-    if sat_simg is not None:
-        sat2 = src2.astype(jnp.float32) >= _zmax_lookup(tx2, ty2, sat_simg)
-        tile2 = jnp.where(sat2, n_tiles, tile2)
     if cull_exact:
         tile2 = _cull_pair_tiles(
             tile2, *_cq([g_rows[2 + i] for i in range(len(payload_c))],
@@ -751,14 +792,15 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
     wl = build_worklist(tile_of, n_tiles=n_tiles, max_pairs=n_dom,
                         chunk=chunk, max_entries=max_entries)
     wl_overflow = wl.pop("wl_overflow")
+    n_ranges = wl.pop("n_pairs_ranges")
     return dict(
         table=table,
         **wl,
         # true pair demand: sum(min(c, elem)) + sum(max(c-elem, 0)) = sum(c)
         n_pairs=jnp.sum(countc),
-        # pairs surviving the ellipse + proxy-depth culls = the raster's
-        # actual composited pair domain
-        n_pairs_kept=jnp.sum((tiles_all < n_tiles).astype(jnp.int32)),
+        # pairs surviving the ellipse/proxy/saturation culls AND the
+        # per-tile run truncation = the raster's actual composited domain
+        n_pairs_kept=n_ranges,
         n_extra=total2,
         n_live=n_live,
         n_live_paths=n_live_paths,

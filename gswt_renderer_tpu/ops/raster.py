@@ -60,6 +60,34 @@ _SCAN_IMPL = os.environ.get("GSWT_SCAN_IMPL", "diffroll")
 # `slot >= cut` strictly `slot > last composited slot` (slots integral)
 SAT_NOCUT = float(1 << 25)
 _SCUT_BUMP = 0.5
+SAT_BANDS = 4  # per-tile horizontal bands in the saturation record
+
+
+def _sat_update(rec, t_start, smax):
+    """Per-PIXEL saturation-slot record update for one composited entry:
+    a pixel raises its record to the entry's max composited slot if it
+    was still visible (T >= MIN_T) at the entry's START — the crossing
+    entry's own pairs contributed visibly and must stay inside the cut —
+    and freezes once saturated. Pairs beyond the final record land in
+    entries that BEGAN with the pixel saturated, so their per-pixel
+    contribution is < MIN_T. (1,P) passes: ~1% of the entry cost."""
+    return jnp.where(t_start >= MIN_T, jnp.maximum(rec, smax), rec)
+
+
+def _sat_flush(rec, trans, th, tw):
+    """Finalize the per-pixel record into SAT_BANDS per-band cuts
+    (broadcast over P, rows 4..4+SAT_BANDS-1 of the output block): band
+    cut = max over the band's pixels of (saturated ? record + bump :
+    SAT_NOCUT) — one unsaturated pixel makes its band uncuttable."""
+    p_n = th * tw
+    px = jax.lax.broadcasted_iota(jnp.int32, (1, p_n), 1)
+    band = px // ((th // SAT_BANDS) * tw)  # flat p = y*tw + x
+    cut_p = jnp.where(trans < MIN_T, rec + _SCUT_BUMP, SAT_NOCUT)
+    rows = [
+        jnp.max(jnp.where(band == b, cut_p, -1.0)) + jnp.zeros((1, p_n))
+        for b in range(SAT_BANDS)
+    ]
+    return jnp.concatenate(rows, axis=0)  # (SAT_BANDS, P)
 
 
 def _pixel_features(tw, th):
@@ -462,7 +490,7 @@ def _raster_kernel(
             exact=exact, use_depth=use_depth)
         acc_ref[0:4, :] = acc_ref[0:4, :] + contrib
         if emit_zcut:
-            acc_ref[4:5, :] = jnp.maximum(acc_ref[4:5, :], smax)
+            acc_ref[4:5, :] = _sat_update(acc_ref[4:5, :], t_carry, smax)
         trans_ref[0:1, :] = t_next
 
     # `last` is also set on the final in-budget entry (build_worklist), so
@@ -473,13 +501,11 @@ def _raster_kernel(
     @pl.when(last)
     def _():
         if emit_zcut:
-            # saturation-slot record (row 4): if the tile ended saturated
-            # (the early exit was skipping), pairs whose stream slot is
-            # strictly beyond the last composited one can never contribute
-            # — export that cut; else no cut (SAT_NOCUT > any slot)
-            sat = jnp.max(trans_ref[0:1, :]) < MIN_T
-            acc_ref[4:5, :] = jnp.where(
-                sat, acc_ref[4:5, :] + _SCUT_BUMP, SAT_NOCUT)
+            # per-band saturation-slot cuts (rows 4..7): pairs whose
+            # stream slot is strictly beyond a band's cut can never
+            # contribute to that band (every band pixel saturated first)
+            acc_ref[4:4 + SAT_BANDS, :] = _sat_flush(
+                acc_ref[4:5, :], trans_ref[0:1, :], th, tw)
         out_ref[0, 0:rows, :] = acc_ref[0:rows, :].reshape(1, rows, p_n)[0]
 
 
@@ -541,7 +567,7 @@ def _raster_kernel_blocked(
                 chunk=chunk, exact=exact, use_depth=use_depth)
             acc_ref[0:4, :] = acc_ref[0:4, :] + contrib
             if emit_zcut:
-                acc_ref[4:5, :] = jnp.maximum(acc_ref[4:5, :], smax)
+                acc_ref[4:5, :] = _sat_update(acc_ref[4:5, :], t_carry, smax)
             trans_ref[0:1, :] = t_next
 
         last = ((tf >> 25) & 1) == 1
@@ -549,10 +575,9 @@ def _raster_kernel_blocked(
         @pl.when(last)
         def _():
             if emit_zcut:
-                # saturation-slot record — see _raster_kernel
-                sat = jnp.max(trans_ref[0:1, :]) < MIN_T
-                acc_ref[4:5, :] = jnp.where(
-                    sat, acc_ref[4:5, :] + _SCUT_BUMP, SAT_NOCUT)
+                # per-band saturation-slot cuts — see _raster_kernel
+                acc_ref[4:4 + SAT_BANDS, :] = _sat_flush(
+                    acc_ref[4:5, :], trans_ref[0:1, :], th, tw)
             cp = pltpu.make_async_copy(acc_ref, out_ref.at[tile], sem_out)
             cp.start()
             cp.wait()
@@ -566,10 +591,10 @@ def _split_zcut(out, touched, emit_zcut):
             out = jnp.where(touched[:, None, None], out, 0.0)
         return out
     color = out[:, 0:4, :]
-    zcut = out[:, 4, 0]
+    zcut = out[:, 4:4 + SAT_BANDS, 0]  # [T, SAT_BANDS]
     if touched is not None:
         color = jnp.where(touched[:, None, None], color, 0.0)
-        zcut = jnp.where(touched, zcut, SAT_NOCUT)
+        zcut = jnp.where(touched[:, None], zcut, SAT_NOCUT)
     return color, zcut
 
 
@@ -583,10 +608,11 @@ def rasterize_pallas(binned, depth_tiles, *, image_wh, tile_wh, chunk: int,
     (1.0 when no proxy). Returns rgb_acc [T, 4, P]: premultiplied color +
     alpha per tile block; reassemble with `tiles_to_image`.
 
-    emit_zcut: also return a per-tile saturation-SLOT record [T] f32 —
-    for saturated tiles the stream slot beyond which no pair can
-    contribute (the render loop feeds it back as next frame's binning
-    sat_simg cull), SAT_NOCUT otherwise. Return becomes (rgb_acc, scut).
+    emit_zcut: also return a per-band saturation-SLOT record
+    [T, SAT_BANDS] f32 — per 8-px horizontal band, the stream slot
+    beyond which no pair can contribute (the render loop feeds it back
+    as next frame's binning sat_simg cull), SAT_NOCUT for bands with any
+    unsaturated pixel. Return becomes (rgb_acc, scut).
 
     step: worklist entries per grid step (default GSWT_RASTER_STEP or 4).
     The blocked kernel needs the table domain to be a multiple of
@@ -759,9 +785,9 @@ def rasterize_reference(binned_np, depth_tiles_np, *, image_wh, tile_wh,
     re_ = np.asarray(binned_np["range_end"])
     depth = np.asarray(depth_tiles_np)
     out = np.zeros((n_tiles, 4, p_n), np.float32)
-    zcut = np.full(n_tiles, SAT_NOCUT, np.float32)
+    zcut = np.full((n_tiles, SAT_BANDS), SAT_NOCUT, np.float32)
     acc = np.zeros((4, p_n), np.float32)
-    zmax_t = -1.0
+    rec = np.zeros((1, p_n), np.float32)
     tcar = np.ones((1, p_n), np.float32)
     for g in range(etf.shape[0]):
         tile = int(etf[g]) & 0xFFFFFF
@@ -769,7 +795,7 @@ def rasterize_reference(binned_np, depth_tiles_np, *, image_wh, tile_wh,
         el = (int(etf[g]) >> 25) & 1
         if ef:
             acc[:] = 0.0
-            zmax_t = -1.0
+            rec[:] = 0.0
             tcar[:] = 1.0
         if tcar.max() >= MIN_T:
             blk = table[:, ec[g] * chunk : (ec[g] + 1) * chunk]
@@ -796,11 +822,14 @@ def rasterize_reference(binned_np, depth_tiles_np, *, image_wh, tile_wh,
             weight = g_m * t_excl * tcar
             rgb1 = np.concatenate([blk[8:11], np.ones((1, chunk), np.float32)], axis=0)
             acc[0:4] += rgb1 @ weight
-            if in_run.any():
-                zmax_t = max(zmax_t, float(blk[12, in_run[:, 0]].max()))
+            smax = (float(blk[12, in_run[:, 0]].max())
+                    if in_run.any() else -1.0)
+            rec = np.where(tcar >= MIN_T, np.maximum(rec, smax), rec)
             tcar = tcar * t_incl[-1:]
         if el:
             out[tile] = acc
-            if tcar.max() < MIN_T:
-                zcut[tile] = zmax_t + _SCUT_BUMP
+            cut_p = np.where(tcar < MIN_T, rec + _SCUT_BUMP, SAT_NOCUT)
+            bh = th // SAT_BANDS
+            for b in range(SAT_BANDS):
+                zcut[tile, b] = cut_p[0, b * bh * tw:(b + 1) * bh * tw].max()
     return (out, zcut) if emit_zcut else out

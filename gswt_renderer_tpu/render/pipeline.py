@@ -767,28 +767,40 @@ class Renderer:
                 return out
             ntx_g = -(-c.width // c.tile_w)
             nty_g = -(-c.height // c.tile_h)
-            zimg = zcut.reshape(nty_g, ntx_g)
+            n_b = raster.SAT_BANDS
+            # [T, B] -> band-major rows [nty*B, ntx]: row = tile_row*B +
+            # band (matching ops/binning.py's global band-row indexing)
+            zimg = zcut.reshape(nty_g, ntx_g, n_b).transpose(0, 2, 1)
+            zimg = zimg.reshape(nty_g * n_b, ntx_g)
+
+            def _shift_max(a, axis):
+                lo = [(0, 0), (0, 0)]
+                hi = [(0, 0), (0, 0)]
+                lo[axis] = (1, 0)
+                hi[axis] = (0, 1)
+                sl_lo = [slice(None), slice(None)]
+                sl_hi = [slice(None), slice(None)]
+                sl_lo[axis] = slice(None, -1)
+                sl_hi[axis] = slice(1, None)
+                return jnp.maximum(
+                    a,
+                    jnp.maximum(
+                        jnp.pad(a[tuple(sl_hi)], hi, constant_values=0.0),
+                        jnp.pad(a[tuple(sl_lo)], lo, constant_values=0.0),
+                    ),
+                )
+
             # camera-motion margin: a deeper neighboring cut wins (keeps
-            # more) within sat_dilate tiles of screen motion per frame
+            # more) within sat_dilate BAND rows vertically and sat_dilate
+            # tile columns horizontally. Small on purpose: the max takes
+            # SAT_NOCUT from any unsaturated neighbor, so a large radius
+            # poisons whole saturated regions (measured: +-1 tile of
+            # dilation collapsed the bench cull from ~17% of pairs to
+            # ~1.4%); a stale cut mispredicts for at most one frame and
+            # self-heals (see sat_cull).
             for _ in range(max(int(c.sat_dilate), 0)):
-                zx = jnp.maximum(
-                    zimg,
-                    jnp.maximum(
-                        jnp.pad(zimg[:, 1:], ((0, 0), (0, 1)),
-                                constant_values=0.0),
-                        jnp.pad(zimg[:, :-1], ((0, 0), (1, 0)),
-                                constant_values=0.0),
-                    ),
-                )
-                zimg = jnp.maximum(
-                    zx,
-                    jnp.maximum(
-                        jnp.pad(zx[1:, :], ((0, 1), (0, 0)),
-                                constant_values=0.0),
-                        jnp.pad(zx[:-1, :], ((1, 0), (0, 0)),
-                                constant_values=0.0),
-                    ),
-                )
+                zimg = _shift_max(zimg, 1)
+                zimg = _shift_max(zimg, 0)
             return out, zimg
 
 
@@ -1088,9 +1100,12 @@ class Renderer:
 
             ntx_g = -(-self.cfg.width // self.cfg.tile_w)
             nty_g = -(-self.cfg.height // self.cfg.tile_h)
+            from ..ops.raster import SAT_BANDS
+
+            shp = (nty_g * SAT_BANDS, ntx_g)
             sat_zin = getattr(self, "_sat_zimg", None)
-            if sat_zin is None or sat_zin.shape != (nty_g, ntx_g):
-                sat_zin = jnp.full((nty_g, ntx_g), SAT_NOCUT, jnp.float32)
+            if sat_zin is None or sat_zin.shape != shp:
+                sat_zin = jnp.full(shp, SAT_NOCUT, jnp.float32)
         else:
             sat_zin = None
         for _attempt in range(3):
