@@ -335,6 +335,32 @@ def main():
     fps = 1000.0 / med if med > 0 else result["fps"]
     aux = eng.renderer.last_aux or {}
     n_pairs = int(aux.get("n_pairs", 0))
+
+    # regression tripwire vs the last committed round (VERDICT r4 #6):
+    # reported in meta, never fatal — a slow-session false positive must
+    # not cost the round its headline. Sessions vary ~1.7x, so only a
+    # large regression is flagged.
+    prev = None
+    import glob as _glob
+
+    for f in sorted(_glob.glob(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json"))):
+        try:
+            p = json.load(open(f)).get("parsed")
+            if p and p.get("value"):
+                prev = dict(round=os.path.basename(f), fps=float(p["value"]))
+        except Exception:
+            pass
+    regression = None
+    if prev:
+        regression = dict(
+            prev_round=prev["round"], prev_fps=prev["fps"],
+            ratio=round(fps / prev["fps"], 3) if prev["fps"] else None,
+            regressed_over_15pct=bool(fps < prev["fps"] * 0.85),
+        )
+        if regression["regressed_over_15pct"]:
+            print(f"[bench] WARNING: headline {fps:.2f} fps regressed >15% "
+                  f"vs {prev['round']} ({prev['fps']:.2f})", file=sys.stderr)
     meta = dict(
         frames=result["frames"],
         fps_wall=round(result["fps"], 2),
@@ -374,6 +400,7 @@ def main():
         bucket_hints=final_hints,
         hints_preloaded=bool(loaded_hints),
         budget_s=budget_s,
+        regression=regression,
     )
 
     def emit():

@@ -263,7 +263,8 @@ _OCC_TAKE_MAX = 1 << 19
 
 # splat-level saturation cull window: a splat is lookup-cullable when its
 # bbox spans <= 2 tile columns and <= _SAT_K 8-px band rows (small splats
-# — the overwhelming majority; wider ones still truncate per tile run)
+# — the overwhelming majority; wider splats are NOT sat-culled at all —
+# the per-tile-run truncation draft was reverted, see build_worklist NOTE)
 _SAT_K = 4
 
 
@@ -386,19 +387,22 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
     The test uses the SAME z the kernel consumes (u16-quantized in the
     fast profile), so cull and depth test can never disagree.
 
-    sat_simg (optional [nty, ntx] f32): per-raster-tile SATURATION SLOT
-    cut — the stream slot beyond which the previous frame's raster proved
-    nothing can contribute to that tile (the tile was opaque:
-    ops/raster.py emit_zcut; pipeline.py threads it frame to frame). A
-    pair whose STREAM SLOT is >= the cut composites entirely behind a
-    transmittance < MIN_T, so dropping it changes the image by < MIN_T
-    per pixel (below the reference ROP's quantization). Slot-keyed — not
-    depth-keyed — so the certificate is self-renewing: the cull never
-    removes anything BEFORE the recorded slot, the kept prefix's
-    transmittance upper-bounds the full-stack one, and each frame's
-    record re-certifies from its own run even right after a camera jump
-    or a stream re-sort (one-frame transient, then sound again). Same
-    two levels as occ_zimg (dilated splat-level + exact pair-level).
+    sat_simg (optional [nty*SAT_BANDS, ntx] f32, band-row-major): per
+    8-px-band SATURATION SLOT cut — the stream slot beyond which the
+    previous frame's raster proved nothing can contribute to that band
+    (all its pixels were opaque: ops/raster.py emit_zcut; pipeline.py
+    threads it frame to frame). A pair whose STREAM SLOT is >= the cut
+    composites entirely behind a transmittance < MIN_T, so dropping it
+    changes the image by < MIN_T per pixel (below the reference ROP's
+    quantization). Slot-keyed — not depth-keyed — so the certificate is
+    self-renewing: the cull never removes anything BEFORE the recorded
+    slot, the kept prefix's transmittance upper-bounds the full-stack
+    one, and each frame's record re-certifies from its own run even
+    right after a stream re-sort (pipeline.py additionally gates on
+    camera motion vs the dilation margin). SPLAT-LEVEL only (unlike
+    occ_zimg's two levels): small splats (bbox <= 2 tile columns and
+    <= _SAT_K band rows) test one span-exact dilated lookup; wider
+    splats are not sat-culled.
       n_live_paths [elem_paths] i32 (#splats with count>j — bucket
         live_buckets[j-1] on entries 1..), overflow bool
     """

@@ -81,7 +81,11 @@ def _sat_flush(rec, trans, th, tw):
     SAT_NOCUT) — one unsaturated pixel makes its band uncuttable."""
     p_n = th * tw
     px = jax.lax.broadcasted_iota(jnp.int32, (1, p_n), 1)
-    band = px // ((th // SAT_BANDS) * tw)  # flat p = y*tw + x
+    # flat p = y*tw + x; clip covers th % SAT_BANDS != 0 (the remainder
+    # rows fold into the LAST band instead of an out-of-range band that
+    # no band max would see — which would record a cut while those rows
+    # were unsaturated, an unsound cull)
+    band = jnp.minimum(px // (max(th // SAT_BANDS, 1) * tw), SAT_BANDS - 1)
     cut_p = jnp.where(trans < MIN_T, rec + _SCUT_BUMP, SAT_NOCUT)
     rows = [
         jnp.max(jnp.where(band == b, cut_p, -1.0)) + jnp.zeros((1, p_n))
@@ -584,8 +588,9 @@ def _raster_kernel_blocked(
 
 
 def _split_zcut(out, touched, emit_zcut):
-    """Split the raster output into (color [T,4,P], zcut [T] or None),
-    defaulting budget-dropped tiles to color 0 / no cut (2.0)."""
+    """Split the raster output into (color [T,4,P], zcut [T, SAT_BANDS]
+    or None), defaulting budget-dropped tiles to color 0 / no cut
+    (SAT_NOCUT)."""
     if not emit_zcut:
         if touched is not None:
             out = jnp.where(touched[:, None, None], out, 0.0)

@@ -99,17 +99,37 @@ def _bucket_kwargs(renderer, s_pad, use_proxy, shards: int = 1):
     domains (max_live=None = live compaction disabled entirely), which
     measured ~1.6x an interactive frame per camera even for IDENTICAL
     cameras (PERFORMANCE.md 4b). shards>1 scales the hints for the
-    stream-sharded path (each shard bins ~1/shards of the demand)."""
-    dc = bool(use_proxy and renderer.proxy_tex is not None
-              and renderer.cfg.depth_cull)
-    mp = renderer._pairs_bucket(s_pad, dc, shards)
-    ml = renderer._live_bucket(s_pad, dc, shards)
-    return dict(
-        max_pairs=mp,
-        max_live=ml,
-        live_buckets=renderer._live_path_buckets(s_pad, ml, dc, shards),
-        max_entries=renderer._ne_bucket(s_pad, mp, ml, dc, shards),
+    stream-sharded path (each shard bins ~1/shards of the demand).
+
+    The sharded frame programs never thread the SATURATION cull (no
+    sat_zimg input), so (a) dc=False always — the interactive path's
+    0.12x dc_seed_scale is only sound when a sat cut exists (ADVICE r4),
+    and (b) session hints that converged during a sat-culled interactive
+    session undersize the uncalled sharded demand (~8x per the repo's
+    measurements) and are skipped — seeds size the buckets instead; an
+    overflow still falls back to worst-case domains."""
+    sat_tainted = bool(
+        renderer.cfg.sat_cull and not renderer.cfg.exact
+        and getattr(renderer, "_sat_zimg", None) is not None
     )
+    saved = {}
+    if sat_tainted:
+        for h in ("_pairs_hint", "_ne_hint", "_live_hint", "_livep_hint"):
+            if hasattr(renderer, h):
+                saved[h] = getattr(renderer, h)
+                delattr(renderer, h)
+    try:
+        mp = renderer._pairs_bucket(s_pad, False, shards)
+        ml = renderer._live_bucket(s_pad, False, shards)
+        return dict(
+            max_pairs=mp,
+            max_live=ml,
+            live_buckets=renderer._live_path_buckets(s_pad, ml, False, shards),
+            max_entries=renderer._ne_bucket(s_pad, mp, ml, False, shards),
+        )
+    finally:
+        for h, v in saved.items():
+            setattr(renderer, h, v)
 
 
 def pack_camera_batch(renderer, scene_params, cameras, render_config=None):

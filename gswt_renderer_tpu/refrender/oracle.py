@@ -192,6 +192,76 @@ def assemble_stream_np(fi: FrameInputs):
     )
 
 
+def ewa_project_cov_np(Vrk, center, view3, cam_pos, focal, htan_fov):
+    """The EWA covariance projection + eigen decomposition
+    (gswt.wgsl:207-258), vectorized over splats. Inputs: Vrk [N,3,3]
+    world-space covariance (already surface-transformed and
+    scene-scaled), center [N,3] world, view3 [3,3], cam_pos [3],
+    focal (fx, fy), htan_fov (hx, hy). Returns (cov2d [N,3,3],
+    lambda1 [N], lambda2 [N], major [N,2], minor [N,2]).
+
+    Anchored to WGSL-derived golden constants INDEPENDENT of this module
+    (tests/test_wgsl_goldens.py) — note the mat3x3 constructors at
+    gswt.wgsl:228-232 are COLUMN-major, so J_T's first column is
+    (fx/tz, 0, -fx*tx/tz^2): the transpose of the classic 2x3 EWA
+    Jacobian."""
+    s = center.shape[0]
+    t = (center - np.asarray(cam_pos)[None, :]) @ view3.T
+    tz = t[:, 2]
+    txtz = t[:, 0] / tz
+    tytz = t[:, 1] / tz
+    limx = 1.3 * htan_fov[0]
+    limy = 1.3 * htan_fov[1]
+    tx = np.clip(txtz, -limx, limx) * tz
+    ty = np.clip(tytz, -limy, limy) * tz
+    tz2 = tz * tz
+    fx, fy = focal
+    # J_T columns (gswt.wgsl:228-232): math matrix J with J[row][col]
+    J = np.zeros((s, 3, 3), np.float32)
+    J[:, 0, 0] = fx / tz
+    J[:, 1, 1] = fy / tz
+    J[:, 2, 0] = -fx * tx / tz2
+    J[:, 2, 1] = -fy * ty / tz2
+    # T = transpose(view3) * J_T (gswt.wgsl:242)
+    T = np.einsum("ij,njk->nik", view3.T, J)
+    cov2d = np.einsum("nji,njk,nkl->nil", T, Vrk, T)
+
+    mid_ = 0.5 * (cov2d[:, 0, 0] + cov2d[:, 1, 1])
+    radius = np.sqrt(
+        (0.5 * (cov2d[:, 0, 0] - cov2d[:, 1, 1])) ** 2 + cov2d[:, 0, 1] ** 2
+    )
+    lambda1 = mid_ + radius
+    lambda2 = mid_ - radius
+    diag = np.stack([cov2d[:, 0, 1], lambda1 - cov2d[:, 0, 0]], axis=1)
+    dn = np.linalg.norm(diag, axis=1, keepdims=True)
+    diag = np.where(dn > 0, diag / np.where(dn == 0, 1, dn), diag)
+    with np.errstate(invalid="ignore"):
+        major = np.minimum(
+            np.sqrt(2.0 * np.maximum(lambda1, 0)), 1024.0
+        )[:, None] * diag
+        minor = np.minimum(
+            np.sqrt(2.0 * np.maximum(lambda2, 0)), 1024.0
+        )[:, None] * np.stack([diag[:, 1], -diag[:, 0]], axis=1)
+    return cov2d, lambda1, lambda2, major, minor
+
+
+def blend_fragments_np(frags):
+    """The fragment shader + ROP blend (gswt.wgsl:424-435 +
+    renderer.rs:118-129) for one pixel: frags = [(v_position (2,),
+    rgb (3,), alpha)] in FRONT-TO-BACK draw order; the GPU composites
+    back-to-front with ONE / ONE_MINUS_SRC_ALPHA. A < -4 discards.
+    Returns premultiplied RGBA (4,)."""
+    dst = np.zeros(4)
+    for (vp, rgb, a) in reversed(list(frags)):
+        A = -(vp[0] * vp[0] + vp[1] * vp[1])
+        if A < -4.0:  # gswt.wgsl:427-430
+            continue
+        B = np.exp(A) * a
+        src = np.array([B * rgb[0], B * rgb[1], B * rgb[2], B])
+        dst = src + (1.0 - src[3]) * dst
+    return dst
+
+
 def project_draw_np(fi: FrameInputs, gs_index, map_id, lod_id, draw_id):
     """The vs_main math (gswt.wgsl:27-422), vectorized over a flat splat
     stream. Returns dict with:
@@ -342,42 +412,10 @@ def project_draw_np(fi: FrameInputs, gs_index, map_id, lod_id, draw_id):
     ss = sc.scene_scale
     Vrk = Vrk * (ss[None, :, None] * ss[None, None, :])
 
-    view3 = view[:3, :3]
-    t = (center - cam.cam_pos[None, :]) @ view3.T
-    tz = t[:, 2]
-    txtz = t[:, 0] / tz
-    tytz = t[:, 1] / tz
-    limx = 1.3 * cam.htan_fov[0]
-    limy = 1.3 * cam.htan_fov[1]
-    tx = np.clip(txtz, -limx, limx) * tz
-    ty = np.clip(tytz, -limy, limy) * tz
-    tz2 = tz * tz
-    fx, fy = cam.focal
-    # J_T columns (gswt.wgsl:228-232): math matrix J with J[row][col]
-    J = np.zeros((s, 3, 3), np.float32)
-    J[:, 0, 0] = fx / tz
-    J[:, 1, 1] = fy / tz
-    J[:, 2, 0] = -fx * tx / tz2
-    J[:, 2, 1] = -fy * ty / tz2
-    # T = transpose(view3) * J_T (gswt.wgsl:242)
-    T = np.einsum("ij,njk->nik", view3.T, J)
-    cov2d = np.einsum("nji,njk,nkl->nil", T, Vrk, T)
-
-    mid_ = 0.5 * (cov2d[:, 0, 0] + cov2d[:, 1, 1])
-    radius = np.sqrt(
-        (0.5 * (cov2d[:, 0, 0] - cov2d[:, 1, 1])) ** 2 + cov2d[:, 0, 1] ** 2
+    cov2d, lambda1, lambda2, major, minor = ewa_project_cov_np(
+        Vrk, center, view[:3, :3], cam.cam_pos, cam.focal, cam.htan_fov
     )
-    lambda1 = mid_ + radius
-    lambda2 = mid_ - radius
     valid &= ~(lambda2 < 0.0)
-    diag = np.stack([cov2d[:, 0, 1], lambda1 - cov2d[:, 0, 0]], axis=1)
-    dn = np.linalg.norm(diag, axis=1, keepdims=True)
-    diag = np.where(dn > 0, diag / np.where(dn == 0, 1, dn), diag)
-    with np.errstate(invalid="ignore"):
-        major = np.minimum(np.sqrt(2.0 * np.maximum(lambda1, 0)), 1024.0)[:, None] * diag
-        minor = np.minimum(np.sqrt(2.0 * np.maximum(lambda2, 0)), 1024.0)[:, None] * np.stack(
-            [diag[:, 1], -diag[:, 0]], axis=1
-        )
 
     # color (gswt.wgsl:260-265)
     rgba = fi.rgba[gs].astype(np.float32) / 255.0

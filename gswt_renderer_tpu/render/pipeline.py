@@ -125,12 +125,15 @@ class RendererConfig:
     # reference's ROP applies per fragment (renderer.rs:179-185 over the
     # proxy depth pre-pass, proxy.rs:119-125). Value-safe up to the same
     # scan-group re-association as cull_exact. Only active in use_proxy
-    # frame variants (no depth, no cull). NOTE: at the reference default
-    # proxy_height=-0.5 the proxy sits BELOW the splats, so genuine
-    # tile-wide occlusion is scene-dependent (hilly scenes at grazing
-    # views); the bulk of the headline scene's work reduction comes from
-    # sat_cull below.
-    depth_cull: bool = os.environ.get("GSWT_DEPTH_CULL", "1") == "1"
+    # frame variants (no depth, no cull). OFF by default: at the
+    # reference default proxy_height=-0.5 the proxy sits BELOW the
+    # splats, so tile-wide occlusion is scene-dependent — the round-5
+    # same-session A/B (benchmarks/cull_ab.py, 2026-08-20) measured it
+    # culling 3-4% of pairs yet costing a net +1 ms/frame at both bench
+    # cameras (161.3 vs 160.0 ms; its two compare passes + dilated-max
+    # image outweigh the pair savings). GSWT_DEPTH_CULL=1 opts in for
+    # scenes with real proxy occlusion (hilly terrain at grazing views).
+    depth_cull: bool = os.environ.get("GSWT_DEPTH_CULL", "0") == "1"
     # temporal saturation cull: the raster records, per tile, the STREAM
     # SLOT beyond which nothing contributed this frame because the tile
     # was already opaque (its early exit was skipping whole entries —
@@ -146,8 +149,18 @@ class RendererConfig:
     # by the tile's carried transmittance), then the loop is sound again.
     # When the prediction holds the culled pairs composite entirely behind
     # transmittance < MIN_T = 0.5/255, below the reference ROP's own
-    # quantization. Fast profile only; GSWT_SAT_CULL=0 reverts.
-    sat_cull: bool = os.environ.get("GSWT_SAT_CULL", "1") == "1"
+    # quantization. Fast profile only. OFF by default: the round-5
+    # same-session A/B (benchmarks/cull_ab.py, 2026-08-20, static cameras
+    # = the cull's best case, fully converged) measured +17-20 ms/frame
+    # (178.2 vs 161.3 ms) for ~ZERO pairs culled beyond the depth cull —
+    # the bench scene's tiles never saturate (transmittance stays above
+    # MIN_T), so the zcut emission (8 accumulator rows vs 4 + per-entry
+    # record pass) and band lookups are pure cost. The round-4 "10-17% of
+    # pairs" motivation predates the u16-z fidelity fix. GSWT_SAT_CULL=1
+    # opts in for genuinely opaque scenes; a motion gate (see render())
+    # disables all cull overhead while the camera moves beyond the
+    # dilation margin.
+    sat_cull: bool = os.environ.get("GSWT_SAT_CULL", "0") == "1"
     sat_dilate: int = int(os.environ.get("GSWT_SAT_DILATE", "1"))
     # seed-scale for the adaptive-bucket FLOORS in occlusion/saturation-
     # culled variants: the splat-level cull shrinks observed
@@ -642,10 +655,11 @@ class Renderer:
         adaptive-bucket flips recompile less and the XLA cache is shared at
         a finer grain.
 
-        sat_zimg ([nty, ntx] f32 or None): the previous frame's dilated
-        saturation-SLOT record (RendererConfig.sat_cull) — a pair whose
-        stream slot is >= its tile's cut composites entirely behind a
-        transmittance < MIN_T (ops/binning.py sat_simg)."""
+        sat_zimg ([nty*SAT_BANDS, ntx] f32 band-row-major, or None): the
+        previous frame's dilated saturation-SLOT record
+        (RendererConfig.sat_cull) — a pair whose stream slot is >= its
+        band's cut composites entirely behind a transmittance < MIN_T
+        (ops/binning.py sat_simg)."""
         scene, cam, lod_enable, culling_dist, gs_enable = (
             self.unpack_frame_uniforms(uniforms)
         )
@@ -747,7 +761,8 @@ class Renderer:
                     emit_zcut=False):
         """Program B: Pallas rasterizer + composite over the background.
         With emit_zcut, also returns the next frame's dilated
-        saturation-depth image [nty, ntx] (see RendererConfig.sat_cull)."""
+        saturation-slot image [nty*SAT_BANDS, ntx] band-row-major (see
+        RendererConfig.sat_cull)."""
         with jax.default_matmul_precision("highest"):
             c = self.cfg
             image_wh = (c.width, c.height)
@@ -847,6 +862,70 @@ class Renderer:
                                   emit_zcut=emit_zcut)
             )
         return self._back_jit[key]
+
+    def _sat_motion_exceeds(self, camera, prev_vp, vp_now) -> bool:
+        """True when the camera moved/rotated enough since the previous
+        sat-eligible frame that screen positions can shift past the
+        saturation cut's dilation margin (sat_dilate tile columns
+        horizontally, sat_dilate 8-px band rows vertically — the ONLY
+        slack the cut-image dilation provides, _frame_back).
+
+        Probe: a 3x3 NDC ray grid through the CURRENT camera sampled at
+        three scene depths, projected with both view-proj matrices; max
+        pixel delta vs the margin. Host-side NumPy, ~30 points/frame.
+        Conservative failure modes count as exceeded (probe behind either
+        camera, singular matrix)."""
+        if np.array_equal(prev_vp, vp_now):
+            return False
+        c = self.cfg
+        from ..ops.raster import SAT_BANDS
+
+        dil = max(int(c.sat_dilate), 0)
+        margin_x = dil * c.tile_w
+        margin_y = dil * max(c.tile_h // SAT_BANDS, 1)
+        try:
+            inv = np.linalg.inv(vp_now.astype(np.float64))
+        except np.linalg.LinAlgError:  # pragma: no cover - degenerate cam
+            return True
+        g = np.array([-0.85, 0.0, 0.85], np.float64)
+        xs, ys = np.meshgrid(g, g)
+        ndc = np.stack([xs.ravel(), ys.ravel()], axis=1)  # [9, 2]
+
+        def unproj(zc):
+            h = np.concatenate(
+                [ndc, np.full((9, 1), zc), np.ones((9, 1))], axis=1)
+            w = h @ inv.T
+            return w[:, :3] / w[:, 3:4]
+
+        # two GL-clip depths span the frustum; sample world points at
+        # fixed distances along the rays so near content (which moves
+        # fastest in screen space) is represented
+        near = unproj(-0.8)
+        far = unproj(0.8)
+        d = far - near
+        d /= np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-12)
+        pos = np.asarray(camera.position, np.float64)
+        pts = np.concatenate(
+            [pos + d * s for s in (2.0, 10.0, 50.0)], axis=0)
+        pts_h = np.concatenate([pts, np.ones((pts.shape[0], 1))], axis=1)
+
+        def to_px(m):
+            h = pts_h @ m.astype(np.float64).T
+            w = h[:, 3]
+            ok = w > 1e-6
+            x = (h[:, 0] / np.where(ok, w, 1.0) * 0.5 + 0.5) * c.width
+            y = (h[:, 1] / np.where(ok, w, 1.0) * 0.5 + 0.5) * c.height
+            return x, y, ok
+
+        x0, y0, ok0 = to_px(prev_vp)
+        x1, y1, ok1 = to_px(vp_now)
+        both = ok0 & ok1
+        if not np.all(both):  # a probe crossed a camera plane: big motion
+            return True
+        return bool(
+            np.max(np.abs(x1 - x0)) > margin_x
+            or np.max(np.abs(y1 - y0)) > margin_y
+        )
 
     def _proxy_bucket(self) -> int:
         """Adaptive proxy-triangle pair budget (same pattern as
@@ -1091,17 +1170,39 @@ class Renderer:
         # color frames only — debug draw modes and point clouds change
         # what "contributes" means, and the exact profile is the parity
         # reference
+        from ..ops.raster import SAT_BANDS, SAT_NOCUT
+
         sat = bool(
             self.cfg.sat_cull and not self.cfg.exact and render_gs
             and not rc.draw_point_cloud and int(rc.draw_mode) == 0
+            # the banded record + binning's band lookup assume uniform
+            # band rows across the image (tile_h % SAT_BANDS == 0); odd
+            # tile heights silently disable the cull instead of shipping
+            # an unsound band mapping (ADVICE r4)
+            and self.cfg.tile_h % SAT_BANDS == 0
         )
         if sat:
-            from ..ops.raster import SAT_NOCUT
-
+            # motion gate (ADVICE r4): the recorded cut is only sound
+            # within the dilation margin (sat_dilate band rows / tile
+            # columns of screen motion). Beyond it a stale cut would
+            # mispredict EVERY frame under sustained motion (flicker,
+            # not the documented one-frame transient) — so a moving
+            # frame drops the cut AND runs the plain non-sat variants
+            # (no slot row through the sort, no band lookups, no zcut
+            # emission: zero cull overhead while the camera moves); the
+            # first static-enough frame re-certifies from its own run.
+            vp_now = np.asarray(camera.view_proj(), np.float32).reshape(4, 4)
+            prev_vp = getattr(self, "_sat_vp", None)
+            moved = prev_vp is not None and self._sat_motion_exceeds(
+                camera, prev_vp, vp_now
+            )
+            self._sat_vp = vp_now
+            if moved:
+                sat = False
+                self._sat_zimg = None
+        if sat:
             ntx_g = -(-self.cfg.width // self.cfg.tile_w)
             nty_g = -(-self.cfg.height // self.cfg.tile_h)
-            from ..ops.raster import SAT_BANDS
-
             shp = (nty_g * SAT_BANDS, ntx_g)
             sat_zin = getattr(self, "_sat_zimg", None)
             if sat_zin is None or sat_zin.shape != shp:

@@ -224,3 +224,60 @@ def test_sat_cull_off_in_exact_profile():
     eng, ud, r = _mk_renderer(exact=True, sat=True)
     _frame(eng, r, ud, (0.0, -4.0, 2.5), (0.0, 2.0, 0.0))
     assert getattr(r, "_sat_zimg", None) is None
+
+
+def test_sat_motion_gate_disables_cull_under_sustained_motion():
+    """ADVICE r4: under SUSTAINED camera motion beyond the dilation margin
+    the cull must not run off stale cuts frame after frame (flicker, not a
+    one-frame transient). The motion gate drops the cut and runs the plain
+    non-sat variants for every moving frame, then re-certifies once the
+    camera is still."""
+    eng, ud, r = _mk_renderer(sat=True)
+    pos = np.array([0.0, -4.0, 2.5])
+    tgt = np.array([0.0, 2.0, 0.0])
+    _frame(eng, r, ud, pos, tgt)
+    assert getattr(r, "_sat_zimg", None) is not None  # static: recorded
+    step = np.array([1.0, 0.0, 0.0])  # ~30-77 px/frame at scene depths
+    for _ in range(3):
+        pos = pos + step
+        tgt = tgt + step
+        _frame(eng, r, ud, pos, tgt)
+        # every moving frame: cut dropped, no zcut emitted
+        assert getattr(r, "_sat_zimg", None) is None
+    # camera stops: the first static frame re-certifies from its own run
+    _frame(eng, r, ud, pos, tgt)
+    assert getattr(r, "_sat_zimg", None) is not None
+    # and the next static frame culls off a fresh (sound) record, matching
+    # the cull-off render within the early-exit error class
+    import dataclasses
+
+    img, aux = _frame(eng, r, ud, pos, tgt)
+    r.cfg = dataclasses.replace(r.cfg, sat_cull=False)
+    ref, aux_ref = _frame(eng, r, ud, pos, tgt)
+    assert int(aux["n_pairs_kept"]) <= int(aux_ref["n_pairs_kept"])
+    np.testing.assert_allclose(img, ref, atol=raster.MIN_T * 1.5)
+
+
+def test_sat_motion_exceeds_thresholds():
+    """The gate's probe math: sub-margin jitter passes, a real pan/strafe
+    exceeds. Margins at this config (tile 32x32, SAT_BANDS=4, dilate=1):
+    32 px horizontal, 8 px vertical."""
+    eng, ud, r = _mk_renderer(sat=True)
+
+    def vp(pos, tgt):
+        cam = Camera((128, 128), np.asarray(pos, np.float32),
+                     np.asarray(tgt, np.float32), (0.0, 0.0, 1.0),
+                     np.deg2rad(45.0), 0.1, 200.0)
+        return cam, np.asarray(cam.view_proj(), np.float32)
+
+    cam0, vp0 = vp((0.0, -4.0, 2.5), (0.0, 2.0, 0.0))
+    assert not r._sat_motion_exceeds(cam0, vp0, vp0)
+    # tiny strafe: worst probe shift ~ 154px/2m * 0.004 ~ 0.3 px
+    cam1, vp1 = vp((0.004, -4.0, 2.5), (0.004, 2.0, 0.0))
+    assert not r._sat_motion_exceeds(cam1, vp0, vp1)
+    # real strafe: ~77 px at the 2 m probe depth
+    cam2, vp2 = vp((1.0, -4.0, 2.5), (1.0, 2.0, 0.0))
+    assert r._sat_motion_exceeds(cam2, vp0, vp2)
+    # pure rotation (position fixed) must also trip the gate
+    cam3, vp3 = vp((0.0, -4.0, 2.5), (1.5, 2.0, 0.0))
+    assert r._sat_motion_exceeds(cam3, vp0, vp3)
