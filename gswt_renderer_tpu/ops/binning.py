@@ -325,7 +325,8 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
               exact: bool = True, max_entries: int | None = None,
               max_live: int | None = None, elem_paths: int = 2,
               live_buckets: tuple[int, ...] | None = None,
-              cull_exact: bool = False, occ_zimg=None, sat_simg=None):
+              cull_exact: bool = False, occ_zimg=None, sat_simg=None,
+              emit_block_demand: bool = False):
     """p: projection outputs (front-to-back order, S lanes). Static:
     image_wh (W,H), tile_wh (tw, th) pixels, max_pairs, chunk, exact,
     max_entries (worklist budget, see build_worklist), max_live (live-splat
@@ -553,6 +554,16 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
 
     # ---- per-path live counts (pre-sort, elementwise) ----
     count0 = jnp.where(ok, nx * ny, 0)
+    block_demand = None
+    if emit_block_demand:
+        # exact per-256-lane-block pair demand (lane index = stream slot):
+        # the stream-parallel path's host-side segment balancer cuts its
+        # boundaries at quantiles of this (parallel/batched.py) — live-lane
+        # counts alone can't see footprint density
+        bd_pad = -(-s_n // 256) * 256
+        block_demand = jnp.sum(
+            jnp.pad(count0, (0, bd_pad - s_n)).reshape(-1, 256), axis=1
+        )
     n_live_paths = jnp.stack(
         [jnp.sum((count0 > j).astype(jnp.int32)) for j in range(elem_paths)]
     )
@@ -810,4 +821,5 @@ def bin_pairs(p, *, image_wh, tile_wh, max_pairs: int, chunk: int,
         n_live_paths=n_live_paths,
         overflow=overflow | wl_overflow,
         grid_info=(ntx, nty),
+        **({"block_demand": block_demand} if emit_block_demand else {}),
     )

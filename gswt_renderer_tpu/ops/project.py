@@ -404,6 +404,12 @@ def assemble_and_project(blocks, merged, panels, keep_draw, store_packed,
     bits2 = bcast(blocks[2])
     lane = jax.lax.broadcasted_iota(jnp.int32, (nb, BLOCK), 1).reshape(s)
     in_range = lane < bcast(blocks[3])
+    if blocks.shape[0] >= 6:
+        # optional row 5: first live lane (exclusive lower bound) — the
+        # stream-parallel path splits a 256-lane block across shards at
+        # lane granularity (parallel/batched.py segment balancing); the
+        # interactive 5-row plan implies lane_lo = 0
+        in_range &= lane >= bcast(blocks[5])
     keep_blk = keep_draw[blocks[4]].astype(jnp.int32)
     keep = bcast(keep_blk) & ((bits1 >> 28) & 1)
     if gs_enable is not None:

@@ -179,8 +179,30 @@ def render_cameras_sharded(renderer, staged, scene_params, cam_batch, mesh,
             **buckets,
         )
 
+        # small per-device batches UNROLL the camera loop: lax.scan's
+        # sequential carry prevents XLA from overlapping any work across
+        # iterations (the interactive path gets that overlap from frame
+        # pipelining); unrolling restores it at the cost of a program
+        # ~B_local x the frame size, so it's bounded by GSWT_DP_UNROLL
+        # (per-device cameras; 0 disables)
+        import os as _os
+
+        unroll_max = int(_os.environ.get("GSWT_DP_UNROLL", "4"))
+
         def per_device(cams_local, store, panels, stream, draw, hm4, hm_src,
                        sky, prox):
+            b_local = cams_local.shape[0]
+            if 0 < b_local <= unroll_max:
+                ovf = jnp.bool_(False)
+                imgs = []
+                for k in range(b_local):
+                    img, aux = frame(store, panels, stream, draw,
+                                     cams_local[k], hm4, sky, prox,
+                                     hm_src=hm_src)
+                    ovf = ovf | aux["overflow"]
+                    imgs.append(img)
+                return jnp.stack(imgs), ovf[None]
+
             def body(carry, cam):
                 img, aux = frame(store, panels, stream, draw, cam, hm4, sky,
                                  prox, hm_src=hm_src)
@@ -195,7 +217,7 @@ def render_cameras_sharded(renderer, staged, scene_params, cam_batch, mesh,
                staged["s_pad"], int(rc.draw_mode),
                int(scene_params.surface_type), bool(rc.draw_point_cloud),
                use_skybox, use_proxy, proxy_opts,
-               tuple(sorted(buckets.items())))
+               tuple(sorted(buckets.items())), unroll_max)
         cache = renderer.__dict__.setdefault("_sharded_jit", {})
         if key not in cache:
             cache[key] = jax.jit(jax.shard_map(
@@ -253,19 +275,104 @@ def render_stream_sharded(renderer, staged, scene_params, camera, mesh,
     draw = staged["draw"]
     n_sp = mesh.shape["sp"]
     nb = stream["blocks"].shape[1]
-    assert nb % n_sp == 0, (nb, n_sp)
 
     use_skybox, use_proxy, sky, prox, proxy_opts = _bg_inputs(
         renderer, rc, use_skybox, use_proxy
     )
-    # per-shard stream domain: nb/n_sp blocks; buckets scale the session
-    # hints to ~1/n_sp demand (x2 imbalance headroom, _bucket_kwargs) so
-    # each device's binning/raster domains shrink with its pair share —
-    # the precondition for the ~n_sp raster/binning speedup this mode
-    # claims (PERFORMANCE.md roadmap #4)
-    from ..render.pipeline import STREAM_BLOCK
+    # per-shard stream domain: demand-WEIGHTED contiguous block segments
+    # (VERDICT r4 #7 — equal block counts split pairs 2.5x unevenly: front
+    # segments are denser, near splats project larger). Boundaries are
+    # chosen on the host at equal quantiles of the per-block live-lane
+    # count (blocks_host row 3), each segment padded to a shared grow-only
+    # max_seg window so shard_map shapes stay static; padding blocks have
+    # the live bit clear (dead lanes). Order is preserved — segment i is a
+    # contiguous front-to-back range — so the over-operator fold across
+    # 'sp' is unchanged. Buckets scale the session hints to ~1/n_sp demand
+    # (x2 imbalance headroom, _bucket_kwargs) so each device's
+    # binning/raster domains shrink with its pair share — the precondition
+    # for the ~n_sp raster/binning speedup this mode claims (PERFORMANCE.md
+    # roadmap #4).
+    from ..render.pipeline import STREAM_BLOCK, _next_pow2
 
-    s_pad_local = (nb // n_sp) * STREAM_BLOCK
+    bh = staged.get("blocks_host")
+    winmap = None
+    if n_sp > 1 and bh is not None:
+        # LANE-granular demand-balanced boundaries: live lanes can't see
+        # PAIR density (near splats overlap more tiles each) and pair
+        # mass can concentrate in a handful of blocks, so the sharded
+        # front program exports the EXACT per-window-block pair demand
+        # (ops/binning.py emit_block_demand) and the previous call's
+        # observation weights this call's cut — the same temporal-
+        # adaptation pattern as the bucket hints, converging over a few
+        # calls even when a single 256-lane block must be SPLIT across
+        # shards (block-plan row 5 = first live lane, ops/project.py).
+        # First call (no observation yet) weights by live lane counts.
+        n_lanes = nb * STREAM_BLOCK
+        blk = STREAM_BLOCK
+        fb = renderer.__dict__.get("_sp_feedback")
+        segs = None
+        if (fb and fb.get("n_sp") == n_sp
+                and fb.get("n_lanes") == n_lanes
+                and fb.get("segs") is not None):
+            segs = fb["segs"]
+        if segs is None:
+            g0 = np.arange(nb, dtype=np.int64) * blk
+            segs = (g0, g0 + blk,
+                    np.maximum(bh[3].astype(np.float64), 0.0))
+        s0, s1, dm = segs
+        ln = np.maximum(s1 - s0, 1).astype(np.float64)
+        w = np.maximum(dm, 0.0) + 1e-9 * ln  # eps: dead spans stay cuttable
+        cum = np.concatenate([[0.0], np.cumsum(w)])
+        tot = float(cum[-1])
+        lane_bounds = [0]
+        for i in range(1, n_sp):
+            t = tot * i / n_sp
+            j = int(np.searchsorted(cum, t, side="right")) - 1
+            j = min(max(j, 0), len(s0) - 1)
+            frac = (t - cum[j]) / max(float(w[j]), 1e-12)
+            lane = int(round(s0[j] + frac * (s1[j] - s0[j])))
+            lane_bounds.append(min(max(lane, lane_bounds[-1]), n_lanes))
+        lane_bounds.append(n_lanes)
+        # window entries per shard: whole blocks, with the boundary
+        # blocks' live range narrowed via (lane_lo, nvalid)
+        win_entries = []
+        max_len = 1
+        for i in range(n_sp):
+            l0, l1 = lane_bounds[i], lane_bounds[i + 1]
+            ents = []
+            for b in range(l0 // blk, -(-l1 // blk)):
+                lo = max(0, l0 - b * blk)
+                hi = min(blk, l1 - b * blk)
+                nv_w = min(int(bh[3][b]), hi)
+                if nv_w > lo:
+                    ents.append((b, lo, nv_w))
+            win_entries.append(ents)
+            max_len = max(max_len, len(ents))
+        max_seg = _next_pow2(max_len, 16, nb + n_sp)
+        # grow-only per-n_sp floor: a new max_seg is a fresh frame-program
+        # compile, so never shrink within a session
+        floors = renderer.__dict__.setdefault("_spseg_floor", {})
+        max_seg = max(max_seg, floors.get(n_sp, 0))
+        floors[n_sp] = max_seg
+        stacked = np.zeros((6, n_sp, max_seg), np.int32)
+        winmap = []
+        for i, ents in enumerate(win_entries):
+            rows = []
+            for j, (b, lo, nv_w) in enumerate(ents):
+                stacked[0:5, i, j] = bh[:, b]
+                stacked[3, i, j] = nv_w
+                stacked[5, i, j] = lo
+                rows.append((b * blk + lo, b * blk + nv_w))
+            winmap.append(rows)
+        blocks_in = jnp.asarray(stacked)
+        renderer.last_sp_bounds = lane_bounds
+    else:
+        assert nb % n_sp == 0, (nb, n_sp)
+        max_seg = nb // n_sp
+        blocks_in = stream["blocks"].reshape(5, n_sp, max_seg)
+        renderer.last_sp_bounds = list(
+            range(0, (nb + 1) * STREAM_BLOCK, max_seg * STREAM_BLOCK))
+    s_pad_local = max_seg * STREAM_BLOCK
 
     def launch(buckets):
         front = functools.partial(
@@ -276,6 +383,7 @@ def render_stream_sharded(renderer, staged, scene_params, camera, mesh,
             use_skybox=use_skybox,
             use_proxy=use_proxy,
             proxy_opts=dict(proxy_opts),
+            emit_block_demand=True,
             **buckets,
         )
 
@@ -283,9 +391,11 @@ def render_stream_sharded(renderer, staged, scene_params, camera, mesh,
                        hm4, hm_src, sky, prox):
             # each shard assembles + composites its contiguous block range
             # of the front-to-back stream (panels + merged scratch
-            # replicated)
+            # replicated); blocks_local arrives [5, 1, max_seg]
             binned, bg, depth_tiles, aux = front(
-                store, panels, dict(blocks=blocks_local, merged=merged),
+                store, panels,
+                dict(blocks=blocks_local.reshape(blocks_local.shape[0], -1),
+                     merged=merged),
                 draw, uniforms, hm4, sky, prox, hm_src=hm_src,
             )
             # splat segment over a zero background (the real bg lands after
@@ -301,10 +411,11 @@ def render_stream_sharded(renderer, staged, scene_params, camera, mesh,
 
             out, _ = jax.lax.scan(fold, imgs[0], imgs[1:])
             out = out + (1.0 - out[..., 3:4]) * bg
-            return out[None], aux["overflow"][None], aux["n_pairs_kept"][None]
+            return (out[None], aux["overflow"][None],
+                    aux["n_pairs_kept"][None], aux["block_demand"][None])
 
         # cached compiled program (see render_cameras_sharded)
-        key = ("sp", tuple(mesh.shape.items()), nb, staged["s_pad"],
+        key = ("sp", tuple(mesh.shape.items()), max_seg, staged["s_pad"],
                int(rc.draw_mode), int(scene_params.surface_type),
                bool(rc.draw_point_cloud), use_skybox, use_proxy, proxy_opts,
                tuple(sorted(buckets.items())))
@@ -313,18 +424,18 @@ def render_stream_sharded(renderer, staged, scene_params, camera, mesh,
             cache[key] = jax.jit(jax.shard_map(
                 per_device,
                 mesh=mesh,
-                in_specs=(P(None, "sp"), P(), P(), P(), P(), P(), P(), P(),
-                          P(), P()),
-                out_specs=(P(), P("sp"), P("sp")),
+                in_specs=(P(None, "sp", None), P(), P(), P(), P(), P(), P(),
+                          P(), P(), P()),
+                out_specs=(P(), P("sp"), P("sp"), P("sp")),
                 check_vma=False,
             ))
         return cache[key](
-            stream["blocks"], renderer.store_packed, renderer.panels,
+            blocks_in, renderer.store_packed, renderer.panels,
             stream["merged"], draw, uniforms, renderer.hm4, _hm_src(renderer),
             sky, prox,
         )
 
-    out, ovf, pairs_kept = launch(
+    out, ovf, pairs_kept, block_demand = launch(
         _bucket_kwargs(renderer, s_pad_local, use_proxy, shards=n_sp)
     )
     # per-device binned pair domains — the dryrun asserts these shrink to
@@ -332,10 +443,27 @@ def render_stream_sharded(renderer, staged, scene_params, camera, mesh,
     renderer.last_shard_pairs_kept = pairs_kept
     renderer.last_batch_overflow = ovf
     if bool(np.any(jax.device_get(ovf))):
-        out, ovf, pairs_kept = launch(dict(
+        out, ovf, pairs_kept, block_demand = launch(dict(
             max_pairs=None, max_live=None, live_buckets=None,
             max_entries=None,
         ))
         renderer.last_shard_pairs_kept = pairs_kept
         renderer.last_batch_overflow = ovf
+    if n_sp > 1 and winmap is not None:
+        # map per-window-block demands back to global lane segments and
+        # record them for the next call's cut (boundary blocks that were
+        # split report each side separately, so the within-block density
+        # refines call over call)
+        bd_win = np.asarray(jax.device_get(block_demand)).reshape(n_sp, -1)
+        s0l, s1l, dl = [], [], []
+        for i, rows in enumerate(winmap):
+            for j, (g0_, g1_) in enumerate(rows):
+                s0l.append(g0_)
+                s1l.append(g1_)
+                dl.append(float(bd_win[i, j]))
+        renderer._sp_feedback = dict(
+            n_sp=n_sp, n_lanes=nb * STREAM_BLOCK,
+            segs=(np.asarray(s0l, np.int64), np.asarray(s1l, np.int64),
+                  np.asarray(dl, np.float64)),
+        )
     return out

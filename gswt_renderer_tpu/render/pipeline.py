@@ -649,7 +649,8 @@ class Renderer:
                      hm4, skybox_tex, proxy_tex, hm_src=None, sat_zimg=None,
                      *, surface_type, draw_mode, point_cloud, use_skybox,
                      use_proxy, proxy_opts, max_pairs=None,
-                     max_entries=None, max_live=None, live_buckets=None):
+                     max_entries=None, max_live=None, live_buckets=None,
+                     emit_block_demand=False):
         """Program A: projection + binning + background/proxy depth.
         Returns (binned, bg, depth_tiles, aux). Split from the raster so
         adaptive-bucket flips recompile less and the XLA cache is shared at
@@ -744,6 +745,7 @@ class Renderer:
                 max_live=max_live, elem_paths=c.elem_paths,
                 live_buckets=live_buckets, cull_exact=c.cull_exact,
                 occ_zimg=occ_zimg, sat_simg=sat_zimg,
+                emit_block_demand=emit_block_demand,
             )
             binned.pop("grid_info")
             aux = dict(n_pairs=binned["n_pairs"], n_extra=binned["n_extra"],
@@ -752,6 +754,8 @@ class Renderer:
                        n_pairs_kept=binned["n_pairs_kept"],
                        n_live_paths=binned["n_live_paths"],
                        overflow=binned["overflow"])
+            if emit_block_demand:
+                aux["block_demand"] = binned.pop("block_demand")
             if use_proxy:
                 aux["overflow"] = aux["overflow"] | paux["proxy_overflow"]
                 aux["proxy_pairs"] = paux["proxy_pairs"]
@@ -1097,7 +1101,6 @@ class Renderer:
         # i32 buffer; the pieces are carved out as device-side slices
         # (async dispatches, no host round trip)
         d = d_pad
-        bcv = jax.lax.bitcast_convert_type
         segs = [
             blocks.reshape(-1),
             merged.reshape(-1),
@@ -1113,25 +1116,48 @@ class Renderer:
         ]
         buf = np.concatenate(segs)
         dev = jnp.asarray(buf)
-        offs = np.cumsum([0] + [x.size for x in segs])
+        offs = tuple(int(x) for x in np.cumsum([0] + [x.size for x in segs]))
 
-        def take(i):
-            return dev[offs[i]:offs[i + 1]]
+        # ONE jitted carve instead of ~7 eager slice/reshape/bitcast ops:
+        # each eager op costs a ~0.5 s compile on the tunneled dev
+        # harness the first time its shape appears (jax never persists
+        # sub-second compiles), so batching them into one program cuts
+        # several seconds of per-session setup
+        ckey = (offs, nb_pad, m_pad, d)
+        carves = self.__dict__.setdefault("_carve_jit", {})
+        if ckey not in carves:
+            def _carve(dev, offs=offs, nb_pad=nb_pad, m_pad=m_pad, d=d):
+                def take(i):
+                    return jax.lax.slice(dev, (offs[i],), (offs[i + 1],))
 
-        stream = dict(
-            blocks=take(0).reshape(5, nb_pad),
-            merged=take(1).reshape(2, m_pad),
-        )
-        tail = take(6)
+                tail = take(6)
+                return (
+                    take(0).reshape(5, nb_pad),
+                    take(1).reshape(2, m_pad),
+                    tail[0], tail[1], take(2), take(3), take(4),
+                    jax.lax.bitcast_convert_type(
+                        take(5), jnp.float32).reshape(d, 4, 3),
+                )
+
+            carves[ckey] = jax.jit(_carve)
+        (blocks_d, merged_d, n_draws, total_splats, single_draw, tile_lod,
+         has_corners, corner_pos) = carves[ckey](dev)
+        stream = dict(blocks=blocks_d, merged=merged_d)
         draw = dict(
-            n_draws=tail[0],
-            total_splats=tail[1],
-            single_draw=take(2),
-            tile_lod=take(3),
-            has_corners=take(4),
-            corner_pos=bcv(take(5), jnp.float32).reshape(d, 4, 3),
+            n_draws=n_draws,
+            total_splats=total_splats,
+            single_draw=single_draw,
+            tile_lod=tile_lod,
+            has_corners=has_corners,
+            corner_pos=corner_pos,
         )
-        return dict(stream=stream, draw=draw, s_pad=nb_pad * blk)
+        # blocks_host: the host copy of the block plan, kept for the
+        # stream-parallel path's demand-weighted segment boundaries
+        # (parallel/batched.py render_stream_sharded) — row 3 (nvalid,
+        # live lanes per block) is the per-block demand proxy. A few
+        # hundred KB, replaced per sort.
+        return dict(stream=stream, draw=draw, s_pad=nb_pad * blk,
+                    blocks_host=blocks)
 
     def render(self, dt: DrawTable, camera: Camera, scene: SceneParams,
                render_config: RenderConfig | None = None, *,
@@ -1262,11 +1288,40 @@ class Renderer:
                     rc.culling_dist, render_gs=render_gs,
                 )
             )
-            binned, bg, depth_tiles, aux = fn(
+            fn_args = (
                 self.store_packed, self.panels, stream, draw, uniforms,
                 self.hm4, sky, prox, getattr(self, "hm_src", None),
                 sat_zin,
             )
+            # overlap the BACK program's compile/load with the FRONT's:
+            # the dev tunnel charges ~5-45 s per program load (measured
+            # 2026-08-20: front 46 s, back 5.5 s, cache hit or miss alike
+            # — the axon server's load dominates, not XLA), and the loads
+            # run concurrently, so threading the back compile behind the
+            # front's first call saves its whole cost at session start
+            back_th = None
+            warmed = self.__dict__.setdefault("_prewarmed", set())
+            if key not in warmed:
+                warmed.add(key)
+                try:
+                    import threading
+
+                    specs = jax.eval_shape(fn, *fn_args)
+
+                    def _warm_back(s=specs):
+                        try:
+                            fn_back.lower(s[0], s[1], s[2]).compile()
+                        except Exception:  # pragma: no cover - advisory
+                            pass
+
+                    back_th = threading.Thread(target=_warm_back,
+                                               daemon=True)
+                    back_th.start()
+                except Exception:  # pragma: no cover - advisory
+                    back_th = None
+            binned, bg, depth_tiles, aux = fn(*fn_args)
+            if back_th is not None:
+                back_th.join()
             if sat and not sat_active:
                 # pre-cut demand: keep it out of the grow-only hints or
                 # every later frame pays pre-cull sort domains

@@ -146,6 +146,118 @@ def test_fast_proxy_visibility_matches_exact_at_range():
     assert d.mean() <= 1.0 / 255.0, f"mean dev {d.mean():.5f}"
 
 
+class _MatrixScene:
+    """Shared scene + cached exact references for the shipped-variant
+    parity matrix (VERDICT r4 #8): every combination the renderer can
+    ship must be compared fast-vs-exact — the round-3 proxy-visibility
+    bug lived for a round because only gs-only small frames were swept."""
+
+    MW = MH = 96
+
+    def __init__(self):
+        sv = synthetic_scene_vec(n_lod=2, splats_per_tile=48)
+        self.sky = np.clip(
+            np.linspace(0, 2, 16)[:, None, None]
+            * np.ones((16, 32, 3), np.float32), 0, 2)
+        checker = np.kron(np.indices((8, 8)).sum(0) % 2,
+                          np.ones((4, 4))).astype(np.float32)
+        self.tex = np.stack([checker * 0.8 + 0.1, checker * 0.5 + 0.2,
+                             checker * 0.3 + 0.1], axis=-1)
+        self.eng = WangTileEngine(sv)
+        self.ud = UserData.from_ui(
+            tile_map_half_wh=(6, 6),
+            height_map_scale=(1.0, 0.25),
+            height_map_wh=(8, 8),
+            lod_max_dist=24.0,
+            surface_type=SurfaceType.HEIGHT_MAP,
+            merge_type=SelectiveMergeType.NONE,
+            tile_sort_type=TileSortType.DISTANCE,
+            lod_blending=False,
+        )
+        self.eng.configure(self.ud)
+        self.rc = RenderConfig.new(self.eng.n_tiles[0])
+        self.sp = SceneParams.from_data(self.ud, self.eng.center_coord,
+                                        self.rc)
+        self._dt = {}
+        self._ref = {}
+
+    def camera_dt(self, far):
+        if far not in self._dt:
+            cam_pos = (np.array([0.0, -20.0, 3.0], np.float32) if far
+                       else np.array([0.5, -2.0, 2.0], np.float32))
+            tgt = (0.0, 10.0, 0.0) if far else (0.3, 6.0, 0.8)
+            self.eng.build_tiles(cam_pos)
+            camera = Camera(
+                (self.MW, self.MH), cam_pos, tgt, (0.0, 0.0, 1.0),
+                np.deg2rad(45.0), 0.1, 1000.0,
+            )
+            dt = self.eng.sort_tiles(cam_pos, camera.view_proj())
+            self._dt[far] = (camera, dt)
+        return self._dt[far]
+
+    def _renderer(self, exact, dc=False, sat=False):
+        r = Renderer(
+            self.eng,
+            RendererConfig(
+                width=self.MW, height=self.MH, max_draws=256,
+                max_stream=1 << 15, min_stream=1 << 12, chunk=128,
+                exact=exact, depth_cull=dc, sat_cull=sat,
+                # isolate depth/cull/quantization parity: the fast
+                # profile's half-res proxy moves checker-edge pixels by
+                # full texture contrast (covered by
+                # test_proxy_res_div_parity)
+                proxy_res_div=1,
+            ),
+        )
+        r.configure(self.ud)
+        r.set_skybox(self.sky, equirect=True)
+        r.set_proxy(self.tex)
+        return r
+
+    def exact_ref(self, far, use_skybox, use_proxy):
+        key = (far, use_skybox, use_proxy)
+        if key not in self._ref:
+            camera, dt = self.camera_dt(far)
+            r = self._renderer(exact=True)
+            self._ref[key] = r.render(
+                dt, camera, self.sp, self.rc,
+                use_skybox=use_skybox, use_proxy=use_proxy)
+        return self._ref[key]
+
+
+@pytest.fixture(scope="module")
+def matrix_scene():
+    return _MatrixScene()
+
+
+@pytest.mark.parametrize("far", [False, True])
+@pytest.mark.parametrize("use_skybox,use_proxy",
+                         [(False, False), (True, False), (False, True),
+                          (True, True)])
+@pytest.mark.parametrize("culls", [False, True])
+def test_fast_profile_matrix_every_shipped_variant(
+        matrix_scene, far, use_skybox, use_proxy, culls):
+    """Fast profile (+ the opt-in culls) vs the exact profile over the
+    full shipped-variant matrix {skybox} x {proxy} x {near, far camera} x
+    {culls off, dc+sat on}, with the 8/255 budget. Culled variants render
+    three frames at the fixed camera so the saturation record engages
+    (the motion gate passes a static camera) and compare the LAST."""
+    ms = matrix_scene
+    camera, dt = ms.camera_dt(far)
+    ref = ms.exact_ref(far, use_skybox, use_proxy)
+    r = ms._renderer(exact=False, dc=culls, sat=culls)
+    n_frames = 3 if culls else 1
+    for _ in range(n_frames):
+        img = r.render(dt, camera, ms.sp, ms.rc,
+                       use_skybox=use_skybox, use_proxy=use_proxy)
+    d = np.abs(img - ref)
+    assert (d > 8.0 / 255.0).mean() <= 0.005, (
+        f"{(d > 8/255.).mean():.4%} of values deviate > 8/255 "
+        f"(far={far} sky={use_skybox} proxy={use_proxy} culls={culls})"
+    )
+    assert d.mean() <= 1.0 / 255.0, f"mean dev {d.mean():.5f}"
+
+
 def test_fast_and_exact_agree_structurally():
     """Fast and exact render the same splats — alpha coverage masks must
     agree except on quantization-thin fringes."""
