@@ -349,8 +349,11 @@ class Engine:
         if self.status != EngineStatus.RENDER:
             return None
 
-        moved = self.update()
-        self._pump_builder(update_worker and moved)
+        from ..render.pipeline import _hprof
+
+        with _hprof("frame.update_pump"):
+            moved = self.update()
+            self._pump_builder(update_worker and moved)
         if self.cur_scene is None or self.cur_sort is None:
             return None
         if self.freeze_frame and not self.step_frame:
@@ -358,9 +361,11 @@ class Engine:
         self.step_frame = False
 
         if self._staged_sort is not self.cur_sort:
-            self._staged = self.renderer.stage(
-                self.cur_sort, self.camera, self.render_config.culling_dist
-            )
+            with _hprof("frame.stage"):
+                self._staged = self.renderer.stage(
+                    self.cur_sort, self.camera,
+                    self.render_config.culling_dist
+                )
             self._staged_sort = self.cur_sort
 
         self.scene_params = SceneParams.from_data(

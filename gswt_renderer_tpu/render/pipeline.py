@@ -46,6 +46,50 @@ def _is_tpu():
         return False
 
 
+# host-section profiler (GSWT_PROF_HOST=1): accumulates wall seconds per
+# frame-loop section to locate non-overlapped host work in the pipelined
+# drain (the interactive-vs-batched gap). Zero-cost when off.
+HOST_PROF: dict = {}
+_PROF_ON = bool(int(os.environ.get("GSWT_PROF_HOST", "0") or 0))
+
+def _packed_interactive() -> bool:
+    """Fuse the front+back frame programs into ONE launch for steady-state
+    (sat-off) interactive frames — pays the fixed per-launch cost once
+    (PERFORMANCE.md "fixed program/dispatch overhead ~30 ms"). Read per
+    call so tests/A-B scripts can flip GSWT_PACKED_INTERACTIVE at runtime."""
+    return bool(int(os.environ.get("GSWT_PACKED_INTERACTIVE", "0") or 0))
+
+
+class _hprof:
+    __slots__ = ("name", "t0")
+
+    def __init__(self, name):
+        self.name = name
+
+    def __enter__(self):
+        if _PROF_ON:
+            import time
+
+            self.t0 = time.perf_counter()
+
+    def __exit__(self, *exc):
+        if _PROF_ON:
+            import time
+
+            e = HOST_PROF.setdefault(self.name, [0, 0.0])
+            e[0] += 1
+            e[1] += time.perf_counter() - self.t0
+        return False
+
+
+def host_prof_report() -> str:
+    lines = []
+    for name, (n, s) in sorted(HOST_PROF.items(), key=lambda kv: -kv[1][1]):
+        lines.append(f"{name:24s} n={n:5d} total={s * 1e3:9.1f} ms "
+                     f"avg={s / max(n, 1) * 1e3:7.3f} ms")
+    return "\n".join(lines)
+
+
 STREAM_BLOCK = 256  # stream panel width (ops/blockgather.py BLOCK)
 PANEL_ROWS = 16     # pos xyz, cov 6, rgba u32, packed gs|lod, map id, 4 pad
 # (content is 12 rows; padded to 16 so the panel DMA's row dimension is
@@ -867,6 +911,38 @@ class Renderer:
             )
         return self._back_jit[key]
 
+    def _get_jit_packed(self, key):
+        """Jitted WHOLE-FRAME program (front + back fused) for a
+        static-bucket key. One program launch per frame instead of two —
+        XLA can overlap the raster with the tail of binning and the fixed
+        per-launch cost is paid once (GSWT_PACKED_INTERACTIVE). Used only
+        for steady-state sat-off frames; bucket flips still recompile at
+        the same key grain as the split path."""
+        cache = self.__dict__.setdefault("_packed_jit", {})
+        if key not in cache:
+            import sys
+
+            print(f"[gswt] compiling packed frame variant s_pad={key[0]} "
+                  f"max_pairs={key[1]}", file=sys.stderr)
+            (s_pad, max_pairs, max_entries, max_live, surface_type,
+             draw_mode, point_cloud, use_skybox, use_proxy, proxy_opts,
+             live_buckets) = key[:11]
+            fn = functools.partial(
+                self._frame_packed,
+                surface_type=surface_type,
+                draw_mode=draw_mode,
+                point_cloud=point_cloud,
+                use_skybox=use_skybox,
+                use_proxy=use_proxy,
+                proxy_opts=dict(proxy_opts),
+                max_pairs=max_pairs,
+                max_entries=max_entries,
+                max_live=max_live,
+                live_buckets=live_buckets,
+            )
+            cache[key] = jax.jit(fn)
+        return cache[key]
+
     def _sat_motion_exceeds(self, camera, prev_vp, vp_now) -> bool:
         """True when the camera moved/rotated enough since the previous
         sat-eligible frame that screen positions can shift past the
@@ -1061,9 +1137,10 @@ class Renderer:
         magnitude less h2d traffic than uploading the assembled stream."""
         c = self.cfg
         blk = STREAM_BLOCK
-        blocks_np, merged_np, total, n, truncated = self.plan_blocks_host(
-            dt, vp, culling_dist
-        )
+        with _hprof("stage.plan"):
+            blocks_np, merged_np, total, n, truncated = self.plan_blocks_host(
+                dt, vp, culling_dist
+            )
         self.last_stream_truncated = truncated
         if truncated:
             self.stream_truncated_events = (
@@ -1079,7 +1156,8 @@ class Renderer:
         d_pad = _next_pow2(max(n, 1), 256, c.max_draws)
         d_pad = max(d_pad, getattr(self, "_dpad_floor", 0))
         self._dpad_floor = d_pad
-        draw_np = self.prepare_draws(dt, n, total, d_pad)
+        with _hprof("stage.prep"):
+            draw_np = self.prepare_draws(dt, n, total, d_pad)
         # grow-only bucketing: every new bucket is a fresh XLA compile of
         # the whole frame program, so never shrink within a session
         nb_pad = _next_pow2(
@@ -1114,8 +1192,10 @@ class Renderer:
                 np.int32,
             ),
         ]
-        buf = np.concatenate(segs)
-        dev = jnp.asarray(buf)
+        with _hprof("stage.pack"):
+            buf = np.concatenate(segs)
+        with _hprof("stage.h2d"):
+            dev = jnp.asarray(buf)
         offs = tuple(int(x) for x in np.cumsum([0] + [x.size for x in segs]))
 
         # ONE jitted carve instead of ~7 eager slice/reshape/bitcast ops:
@@ -1140,8 +1220,9 @@ class Renderer:
                 )
 
             carves[ckey] = jax.jit(_carve)
-        (blocks_d, merged_d, n_draws, total_splats, single_draw, tile_lod,
-         has_corners, corner_pos) = carves[ckey](dev)
+        with _hprof("stage.carve"):
+            (blocks_d, merged_d, n_draws, total_splats, single_draw, tile_lod,
+             has_corners, corner_pos) = carves[ckey](dev)
         stream = dict(blocks=blocks_d, merged=merged_d)
         draw = dict(
             n_draws=n_draws,
@@ -1282,67 +1363,82 @@ class Renderer:
             )
             fn = self._get_jit(key)
             fn_back = self._get_jit_back(bool(key[8]), sat)
-            uniforms = jnp.asarray(
-                self.pack_frame_uniforms(
-                    scene, CameraUniforms(camera), lod_enable,
-                    rc.culling_dist, render_gs=render_gs,
+            with _hprof("render.uniforms"):
+                uniforms = jnp.asarray(
+                    self.pack_frame_uniforms(
+                        scene, CameraUniforms(camera), lod_enable,
+                        rc.culling_dist, render_gs=render_gs,
+                    )
                 )
-            )
             fn_args = (
                 self.store_packed, self.panels, stream, draw, uniforms,
                 self.hm4, sky, prox, getattr(self, "hm_src", None),
                 sat_zin,
             )
-            # overlap the BACK program's compile/load with the FRONT's:
-            # the dev tunnel charges ~5-45 s per program load (measured
-            # 2026-08-20: front 46 s, back 5.5 s, cache hit or miss alike
-            # — the axon server's load dominates, not XLA), and the loads
-            # run concurrently, so threading the back compile behind the
-            # front's first call saves its whole cost at session start
-            back_th = None
-            warmed = self.__dict__.setdefault("_prewarmed", set())
-            if key not in warmed:
-                warmed.add(key)
-                try:
-                    import threading
+            if not sat and _packed_interactive():
+                # one program launch per frame: front + back fused, so the
+                # fixed per-launch cost is paid once and XLA overlaps the
+                # raster with binning's tail (A/B: benchmarks/
+                # profile_hostloop.py --packed)
+                fnp = self._get_jit_packed(key)
+                with _hprof("render.dispatch_packed"):
+                    img, aux = fnp(*fn_args[:9])
+            else:
+                # overlap the BACK program's compile/load with the FRONT's:
+                # the dev tunnel charges ~5-45 s per program load (measured
+                # 2026-08-20: front 46 s, back 5.5 s, cache hit or miss
+                # alike — the axon server's load dominates, not XLA), and
+                # the loads run concurrently, so threading the back compile
+                # behind the front's first call saves its whole cost at
+                # session start
+                back_th = None
+                warmed = self.__dict__.setdefault("_prewarmed", set())
+                if key not in warmed:
+                    warmed.add(key)
+                    try:
+                        import threading
 
-                    specs = jax.eval_shape(fn, *fn_args)
+                        specs = jax.eval_shape(fn, *fn_args)
 
-                    def _warm_back(s=specs):
-                        try:
-                            fn_back.lower(s[0], s[1], s[2]).compile()
-                        except Exception:  # pragma: no cover - advisory
-                            pass
+                        def _warm_back(s=specs):
+                            try:
+                                fn_back.lower(s[0], s[1], s[2]).compile()
+                            except Exception:  # pragma: no cover - advisory
+                                pass
 
-                    back_th = threading.Thread(target=_warm_back,
-                                               daemon=True)
-                    back_th.start()
-                except Exception:  # pragma: no cover - advisory
-                    back_th = None
-            binned, bg, depth_tiles, aux = fn(*fn_args)
-            if back_th is not None:
-                back_th.join()
-            if sat and not sat_active:
-                # pre-cut demand: keep it out of the grow-only hints or
-                # every later frame pays pre-cull sort domains
-                aux = dict(aux, hint_poison=True)
-            img = fn_back(binned, bg, depth_tiles)
-            if sat:
-                img, self._sat_zimg = img
+                        back_th = threading.Thread(target=_warm_back,
+                                                   daemon=True)
+                        back_th.start()
+                    except Exception:  # pragma: no cover - advisory
+                        back_th = None
+                with _hprof("render.dispatch_front"):
+                    binned, bg, depth_tiles, aux = fn(*fn_args)
+                if back_th is not None:
+                    back_th.join()
+                if sat and not sat_active:
+                    # pre-cut demand: keep it out of the grow-only hints or
+                    # every later frame pays pre-cull sort domains
+                    aux = dict(aux, hint_poison=True)
+                with _hprof("render.dispatch_back"):
+                    img = fn_back(binned, bg, depth_tiles)
+                if sat:
+                    img, self._sat_zimg = img
             if pipeline_depth > 0 and not as_numpy:
                 # schedule the aux scalars' d2h copy now (async, returns
                 # immediately): by the time this frame is drained the data
                 # has landed and the per-frame aux read doesn't block
-                try:
-                    for leaf in jax.tree_util.tree_leaves(aux):
-                        if hasattr(leaf, "copy_to_host_async"):
-                            leaf.copy_to_host_async()
-                except Exception:  # pragma: no cover - backend-dependent
-                    pass
+                with _hprof("render.aux_async"):
+                    try:
+                        for leaf in jax.tree_util.tree_leaves(aux):
+                            if hasattr(leaf, "copy_to_host_async"):
+                                leaf.copy_to_host_async()
+                    except Exception:  # pragma: no cover - backend-dependent
+                        pass
                 self._inflight = getattr(self, "_inflight", None) or []
                 self._inflight.append((aux, img, int(key[1])))
-                while len(self._inflight) > pipeline_depth:
-                    self._drain_one()
+                with _hprof("render.drain"):
+                    while len(self._inflight) > pipeline_depth:
+                        self._drain_one()
                 return img
             # one combined d2h: aux + a pixel probe (completion barrier for
             # the whole frame; aux alone is computed before the rasterizer)
@@ -1357,7 +1453,9 @@ class Renderer:
             self.last_overflow_retries += 1
         return np.asarray(jax.device_get(img)) if as_numpy else img
 
-    AUX_FETCH_EVERY = 4  # pipelined pixel-probe round trips per N frames
+    # pipelined blocking round trips (combined aux + pixel-probe d2h) per
+    # N drained frames; 1 restores the per-frame fetch for A/Bs
+    AUX_FETCH_EVERY = int(os.environ.get("GSWT_AUX_FETCH_EVERY", "4") or 4)
 
     def _absorb_aux(self):
         """Fold a fetched aux dict into the grow-only bucket hints
@@ -1395,6 +1493,14 @@ class Renderer:
         first frame of a future run lands on the converged buckets (one
         XLA compile per program instead of a grow-ladder of variants —
         tunnel compiles are 40-200s each on the dev harness)."""
+        # absorb any drained-but-unfetched aux (the pipelined drain batches
+        # its blocking d2h reads) so the export reflects every drained frame
+        pend = getattr(self, "_aux_pending", None)
+        if pend:
+            self._aux_pending = []
+            for a in jax.device_get(pend):
+                self.last_aux = a
+                self._absorb_aux()
         return dict(
             n_extra=int(getattr(self, "_pairs_hint", 0) or 0),
             n_live=int(getattr(self, "_live_hint", 0) or 0),
@@ -1426,27 +1532,40 @@ class Renderer:
             self._livep_hint = lp
 
     def _drain_one(self, fetch: bool | None = None):
-        """Pop the oldest in-flight frame. The AUX scalars are read for
-        EVERY drained frame (they were scheduled device->host async at
-        dispatch, so by drain time — >= pipeline_depth frames later — the
-        copy has landed and the read doesn't block), so an overflow on any
-        frame is counted and grows the budget hints. The image PIXEL PROBE
-        (the completion barrier proving the whole frame executed, a real
-        blocking round trip) still runs only every AUX_FETCH_EVERY pops for
-        backpressure."""
+        """Pop the oldest in-flight frame. Every frame's AUX scalars are
+        read and absorbed (overflow counting + grow-only hints), but the
+        blocking device_get runs only every AUX_FETCH_EVERY pops — one
+        combined fetch of all pending aux dicts PLUS the image pixel probe
+        (the completion barrier proving the popped frame executed). drain()
+        forces a final flush, so nothing is lost at loop end."""
         aux, img, bucket = self._inflight.pop(0)
         self._drain_count = getattr(self, "_drain_count", 0) + 1
         if fetch is None:
             fetch = self._drain_count % self.AUX_FETCH_EVERY == 0
-        self.last_aux = jax.device_get(aux)
-        self._absorb_aux()
-        if bool(self.last_aux["overflow"]):
-            # too late to retry this frame (it already rendered truncated);
-            # the hint absorbed the true demand above, so subsequent frames
-            # get a right-sized budget
-            self.overflow_frames = getattr(self, "overflow_frames", 0) + 1
-        if fetch:
-            jax.device_get(img[0, 0, 0])
+        # batch the aux reads: ONE device_get per AUX_FETCH_EVERY pops
+        # (combined with the pixel probe) instead of one per frame. A
+        # blocking d2h costs a full ~40 ms tunnel round trip whenever the
+        # copy_to_host_async pre-land is not honored by the backend, so
+        # per-frame aux fetches can silently serialize the pipelined loop.
+        # Every frame's aux is still read and absorbed — just up to
+        # AUX_FETCH_EVERY frames late, which only delays bucket-hint
+        # growth/overflow accounting (pipelined frames never retry anyway).
+        pend = self.__dict__.setdefault("_aux_pending", [])
+        pend.append(aux)
+        if not fetch:
+            return
+        with _hprof("drain.fetch"):
+            fetched = jax.device_get((pend, img[0, 0, 0]))
+        self._aux_pending = []
+        for a in fetched[0]:
+            self.last_aux = a
+            self._absorb_aux()
+            if bool(a["overflow"]):
+                # too late to retry (those frames already rendered
+                # truncated); the hint absorbed the true demand above, so
+                # subsequent frames get a right-sized budget
+                self.overflow_frames = getattr(
+                    self, "overflow_frames", 0) + 1
 
     def drain(self):
         """Block until all in-flight pipelined frames are device-complete."""

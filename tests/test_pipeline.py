@@ -296,3 +296,49 @@ def test_packed_equals_front_back_split(engine):
         # partitions, so fp association differs in the fast profile's bf16
         # chains; pin to the standing parity budget
         _assert_close(img_split, img_packed, budget=1e-3, frac=1e-3)
+
+
+def test_packed_interactive_env_path(engine, monkeypatch):
+    """GSWT_PACKED_INTERACTIVE=1 routes render() through the fused
+    one-program frame (_get_jit_packed) — pin it pixel-close to the
+    default split path including the full skybox+proxy config, and check
+    the aux/bucket machinery (overflow retry hints) still feeds through."""
+    ud = _setup(
+        engine,
+        surface_type=SurfaceType.HEIGHT_MAP,
+        height_map_scale=(1.0, 0.2),
+        height_map_wh=(8, 8),
+    )
+    cam_pos = np.array([1.0, -5.0, 3.0], np.float32)
+    engine.build_tiles(cam_pos)
+    camera = Camera((W, H), cam_pos, (1.0, 0.0, 0.5), (0.0, 1.0, 0.0),
+                    np.deg2rad(60.0), 0.1, 200.0)
+    dt = engine.sort_tiles(cam_pos, camera.view_proj())
+    rc = RenderConfig.new(engine.n_tiles[0])
+    sky = np.clip(np.linspace(0, 3, 16)[:, None, None]
+                  * np.ones((16, 32, 3), np.float32), 0, 3)
+    checker = np.kron(np.indices((8, 8)).sum(0) % 2,
+                      np.ones((4, 4))).astype(np.float32)
+
+    def _mk():
+        r = Renderer(engine, RendererConfig(
+            width=W, height=H, max_draws=128,
+            max_stream=1 << 15, min_stream=1 << 12, chunk=128))
+        r.configure(ud)
+        r.set_skybox(sky, equirect=True)
+        r.set_proxy(np.stack([checker, checker * 0.5, checker * 0.2],
+                             axis=-1))
+        return r
+
+    sp = SceneParams.from_data(ud, engine.center_coord, rc)
+    monkeypatch.delenv("GSWT_PACKED_INTERACTIVE", raising=False)
+    img_split = _mk().render(dt, camera, sp, rc, use_skybox=True,
+                             use_proxy=True, as_numpy=True)
+    monkeypatch.setenv("GSWT_PACKED_INTERACTIVE", "1")
+    rp = _mk()
+    img_packed = rp.render(dt, camera, sp, rc, use_skybox=True,
+                           use_proxy=True, as_numpy=True)
+    assert rp.last_aux is not None and not bool(rp.last_aux["overflow"])
+    # same key grain as the split path: exactly one packed variant compiled
+    assert len(getattr(rp, "_packed_jit", {})) == 1
+    _assert_close(img_split, img_packed, budget=1e-3, frac=1e-3)
