@@ -461,8 +461,29 @@ def main():
         dense = {"skipped": f"budget ({time.time() - t_start:.0f}s elapsed "
                             f"of {budget_s:.0f}s)"}
     else:
+        # SUBPROCESS with a hard timeout: the dense variant's cold compile
+        # measured >17 min on the dev tunnel (2026-08-21), and an XLA
+        # compile cannot be interrupted in-process — a budget check at
+        # entry cannot bound it. The child is killed at the budget edge
+        # and the already-printed headline is untouched either way.
+        import subprocess
+
+        remain = budget_s - (time.time() - t_start)
+        child_timeout = max(min(remain - 30.0, 1800.0), 180.0)
         try:
-            dense = _dense_row(width, height)
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--dense-only",
+                 str(width), str(height)],
+                capture_output=True, text=True, timeout=child_timeout,
+            )
+            sys.stderr.write(r.stderr[-2000:])
+            last = (r.stdout.strip().splitlines() or ["{}"])[-1]
+            dense = json.loads(last) if r.returncode == 0 else {
+                "error": f"rc={r.returncode}: {r.stdout[-200:]}"}
+        except subprocess.TimeoutExpired:
+            dense = {"skipped": f"dense subprocess hit its "
+                                f"{child_timeout:.0f}s timeout (budget "
+                                f"{budget_s:.0f}s)"}
         except Exception as e:  # pragma: no cover - report, don't fail
             dense = {"error": str(e)[:200]}
     meta["dense"] = dense
@@ -470,5 +491,22 @@ def main():
         emit()
 
 
+def _dense_only_main():
+    """`bench.py --dense-only W H`: run ONLY the dense row and print its
+    dict as the last stdout line (consumed by main()'s subprocess call)."""
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    width = int(sys.argv[2]) if len(sys.argv) > 2 else 1920
+    height = int(sys.argv[3]) if len(sys.argv) > 3 else 1080
+    print(json.dumps(_dense_row(width, height)), flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--dense-only":
+        _dense_only_main()
+    else:
+        main()
