@@ -53,3 +53,31 @@ def test_cli_bench_headless(tmp_path, capsys):
     ])
     out = capsys.readouterr().out
     assert "fps" in out and "\\pm" in out
+
+
+def test_bench_dense_only_dispatch(monkeypatch, capsys):
+    """bench.py --dense-only W H must parse argv, run _dense_row, and print
+    its dict as the LAST stdout line (the contract main()'s subprocess
+    wrapper parses — a hung/slow dense compile is bounded by the child's
+    timeout instead of killing the run, the round-4 failure shape)."""
+    import importlib.util
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test", os.path.join(root, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    calls = {}
+
+    def fake_dense(width, height, n_frames=64):
+        calls["wh"] = (width, height)
+        return {"fps": 3.5, "frame_ms": 285.7}
+
+    monkeypatch.setattr(bench, "_dense_row", fake_dense)
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--dense-only", "320", "200"])
+    bench._dense_only_main()
+    assert calls["wh"] == (320, 200)
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(out) == {"fps": 3.5, "frame_ms": 285.7}
